@@ -1,0 +1,138 @@
+"""Index storage seam: parquet tables + JSON snapshot manifest.
+
+The north rule asks for Iceberg tables; no Iceberg runtime jar is available
+offline in this sandbox (SURVEY.md §7), so this module is a thin catalog seam
+with Iceberg-equivalent semantics at the call sites:
+
+* bucket partitioning on ``bucket = pmod(xxhash64(term), n_buckets)`` — the
+  parquet-directory analog of Iceberg's ``bucket(N, term)`` partition
+  transform, giving partition pruning on term lookups;
+* atomic snapshot commits — a table write lands in a ``snap-<id>`` directory
+  and the manifest is swapped via atomic rename, so readers never see a
+  half-written index (the property the reference gets from its
+  validate-then-write two-phase design, ExcelParser.java:90-102 +
+  README.md:15, and that Iceberg gets from metadata swaps);
+* per-stage lineage entries (fingerprint of the input snapshot) so a build
+  is checkpoint-resumable: a re-run skips stages whose committed fingerprint
+  matches (north rule: "resumable from checkpoint with per-partition
+  lineage").
+
+Swapping in real Iceberg is a config change: replace ``write_table`` /
+``read_table`` bodies with ``writeTo(...).createOrReplace()`` / catalog reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexStore:
+    """One named index inside a warehouse directory."""
+
+    def __init__(self, warehouse: str, name: str):
+        self.root = os.path.join(warehouse, name)
+        os.makedirs(self.root, exist_ok=True)
+        self.manifest_path = os.path.join(self.root, "manifest.json")
+        self.metrics_path = os.path.join(self.root, "metrics.jsonl")
+
+    # ------------------------------------------------------------ manifest
+
+    def manifest(self) -> dict[str, Any]:
+        if not os.path.exists(self.manifest_path):
+            return {"tables": {}, "stages": {}, "snapshots": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, m: dict[str, Any]) -> None:
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)  # atomic snapshot swap
+
+    # -------------------------------------------------------------- tables
+
+    def table_path(self, table: str) -> str:
+        loc = self.manifest()["tables"].get(table)
+        if loc is None:
+            raise KeyError(f"table {table!r} not committed in {self.root}")
+        return loc
+
+    def has_table(self, table: str) -> bool:
+        return table in self.manifest()["tables"]
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> str:
+        """Write to a fresh snapshot dir, then commit by manifest swap.
+        ``mode='overwrite'`` is Iceberg createOrReplace; ``'append'`` adds a
+        second snapshot dir that readers union (segment-append, merged by
+        the merge job — SURVEY.md §2B B3)."""
+        snap = f"snap-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, table, snap)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        m = self.manifest()
+        if mode == "append" and table in m["tables"]:
+            existing = m["tables"][table]
+            paths = existing if isinstance(existing, list) else [existing]
+            m["tables"][table] = paths + [path]
+        else:
+            m["tables"][table] = path
+        m["snapshots"].append(
+            {"table": table, "path": path, "ts": time.time(), "mode": mode}
+        )
+        self._commit_manifest(m)
+        return path
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        loc = self.table_path(table)
+        paths = loc if isinstance(loc, list) else [loc]
+        return spark.read.parquet(*paths)
+
+    def drop(self) -> None:
+        """DELETE <index> analog (reference: ElasticWriter.java:186-194,
+        the --clear flag)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+
+    # --------------------------------------------------- lineage / resume
+
+    def stage_done(self, stage: str, fingerprint: str) -> bool:
+        st = self.manifest()["stages"].get(stage)
+        return bool(st) and st.get("fingerprint") == fingerprint
+
+    def commit_stage(
+        self, stage: str, fingerprint: str, **extra: Any
+    ) -> None:
+        m = self.manifest()
+        m["stages"][stage] = {
+            "fingerprint": fingerprint,
+            "ts": time.time(),
+            **extra,
+        }
+        self._commit_manifest(m)
+
+    # -------------------------------------------------------------- metrics
+
+    def log_metrics(self, stage: str, **metrics: Any) -> dict[str, Any]:
+        """Per-stage structured metrics (terms/sec, postings/sec, bytes) —
+        the analog of the reference's per-batch progress events
+        (ElasticWriter.java:147-156), but engine-grade."""
+        rec = {"stage": stage, "ts": time.time(), **metrics}
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+        return rec

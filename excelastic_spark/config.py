@@ -1,0 +1,59 @@
+"""Engine configuration.
+
+Analog of the reference's configuration.json loader
+(/root/reference/src/main/java/com/codingchili/excelastic/model/Configuration.java:31-68),
+which carries the ES URL, TLS flag, basic auth and default index name. Ours
+carries BM25 parameters, index layout knobs and warehouse location.
+
+All knobs that control *at-scale code paths* (salting, block size, bucket
+count) are deliberately shrinkable so tests can exercise the scale paths on a
+tiny corpus — the same trick the reference uses with
+CSVParser.setMaxMapSize(32) (src/test/java/com/codingchili/TestParser.java:69-76).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 scoring (Lucene/ES defaults; public: BM25Similarity) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- index layout ---
+    # postings are stored in parquet partitioned by bucket = pmod(xxhash64(term), n_buckets)
+    # so a term lookup prunes to a single directory (the parquet analog of
+    # Iceberg's bucket(term) partition transform).
+    n_buckets: int = 16
+    # per-term posting blocks for block-max WAND (Ding & Suel 2011 use 64-128)
+    block_size: int = 128
+    # terms with df > salt_threshold are split into ceil(df/salt_target)
+    # sub-rows by pmod(xxhash64(doc_id), n_salts): the skew-handling the
+    # north rule requires for hot terms like 'import'/'return'.
+    salt_threshold: int = 100_000
+    salt_target: int = 50_000
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_batch_size: int = 10_000
+
+    # --- warehouse (catalog seam; see catalog.py) ---
+    warehouse: str = field(
+        default_factory=lambda: os.environ.get(
+            "EXCELASTIC_WAREHOUSE", "/tmp/excelastic_warehouse"
+        )
+    )
+
+    def with_overrides(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+    def tiny(self) -> "EngineConfig":
+        """Shrunk thresholds: force the at-scale code paths at toy scale
+        (salting, multi-block WAND, multi-bucket pruning) — the reference's
+        TestParser.java:69-76 pattern."""
+        return self.with_overrides(
+            n_buckets=4, block_size=4, salt_threshold=8, salt_target=4
+        )

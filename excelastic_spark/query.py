@@ -1,0 +1,307 @@
+"""Query executor: top-k BM25 conjunctive (AND) / disjunctive (OR) search.
+
+This is the half the reference delegates wholesale to Elasticsearch
+(README.md:3 "easily searchable in kibana"; the reference only writes via
+POST _bulk, ElasticWriter.java:180-184). Built from scratch on public
+BM25/WAND semantics.
+
+Two execution paths:
+
+* ``search`` (driver path): term lookups hit the postings table with
+  ``bucket IN (...) AND term IN (...)`` — bucket is a parquet partition
+  column (Iceberg bucket-transform analog) so the scan prunes to the query
+  terms' directories, and the term predicate pushes into the parquet row
+  groups. Salted sub-lists are merged (they partition docs disjointly).
+  Scoring: numpy AND-intersection / block-max WAND. This is how a search
+  head node serves low-latency queries off a 10^12-doc index: it reads only
+  the query terms' postings, never the corpus.
+* ``search_distributed`` (cluster path): for analytics-style queries whose
+  candidate sets are too big for one node — decodes postings in executors
+  via mapInPandas, pivots per-term weight columns (fixed fold order -> IEEE
+  deterministic scores), global top-k via ORDER BY ... LIMIT k (Spark
+  TakeOrdered — no full sort).
+
+Determinism contract: scores are float64, accumulated in ascending
+lexicographic term order; output ordered by (score DESC, doc_id ASC) —
+rank-identical to the pandas oracle in both docIDs and scores.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from excelastic_spark import codec
+from excelastic_spark.build import bucket_expr
+from excelastic_spark.catalog import IndexStore
+from excelastic_spark.config import EngineConfig
+from excelastic_spark.wand import TermPostings, WandStats, wand_topk
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+@dataclass
+class QueryResult:
+    doc_ids: np.ndarray
+    scores: np.ndarray
+    wand: WandStats | None = None
+    lookup_sec: float = 0.0
+    score_sec: float = 0.0
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": self.doc_ids.astype(np.int64),
+                "score": self.scores,
+            }
+        )
+
+
+class QueryEngine:
+    def __init__(
+        self, spark: SparkSession, store: IndexStore, cfg: EngineConfig | None = None
+    ):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg or EngineConfig()
+        st = store.read_table(spark, "stats").collect()[0]
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+        self.k1 = float(st["k1"])
+        self.b = float(st["b"])
+        self._bucket_cache: dict[str, int] = {}
+
+    # ---------------------------------------------------------- lookup ----
+
+    def _postings_scan(self, terms: list[str]) -> DataFrame:
+        """Pruned scan: partition pruning on bucket + predicate pushdown on
+        term. Reads only the query terms' rows from the index."""
+        pf = self.store.read_table(self.spark, "postings")
+        missing = [t for t in terms if t not in self._bucket_cache]
+        if missing:
+            rows = (
+                self.spark.createDataFrame([(t,) for t in missing], ["term"])
+                .select(
+                    "term",
+                    bucket_expr(F.col("term"), self.cfg.n_buckets).alias("bucket"),
+                )
+                .collect()
+            )
+            for r in rows:
+                self._bucket_cache[r["term"]] = r["bucket"]
+        buckets = sorted({self._bucket_cache[t] for t in terms})
+        return pf.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def lookup(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Fetch + decode + salt-merge postings for the query terms.
+        Salted sub-lists cover disjoint docs; merge = concat + stable sort."""
+        uniq = sorted(set(terms))
+        rows = self._postings_scan(uniq).collect()
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        out: dict[str, TermPostings] = {}
+        for term, parts in by_term.items():
+            ids_parts, tf_parts, dl_parts = [], [], []
+            for r in sorted(parts, key=lambda r: r["salt"]):
+                ids_parts.append(codec.decode_delta_varint(bytes(r["doc_ids"])))
+                tf_parts.append(codec.decode_varint(bytes(r["tfs"])))
+                dl_parts.append(codec.decode_varint(bytes(r["doclens"])))
+            ids = np.concatenate(ids_parts)
+            tfs = np.concatenate(tf_parts)
+            dls = np.concatenate(dl_parts)
+            if len(parts) > 1:
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            df = int(ids.size)
+            idf = float(codec.bm25_idf(self.n_docs, df))
+            impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
+            weights = idf * impacts
+            if len(parts) == 1:
+                blk_last = codec.u64_from_bytes(bytes(parts[0]["block_last"]))
+                blk_max = codec.f64_from_bytes(bytes(parts[0]["block_max"])) * idf
+            else:
+                # salted lists were interleaved: rebuild block metadata
+                blk_last, blk_imp = codec.block_metadata(
+                    ids, impacts, self.cfg.block_size
+                )
+                blk_max = blk_imp * idf
+            out[term] = TermPostings(
+                term=term,
+                doc_ids=ids,
+                weights=weights,
+                block_last=blk_last,
+                block_ub=blk_max,
+            )
+        return out
+
+    # ---------------------------------------------------------- search ----
+
+    def search(
+        self, terms: list[str], mode: str = "or", k: int = 10
+    ) -> QueryResult:
+        t0 = time.time()
+        postings = self.lookup(terms)
+        t1 = time.time()
+        uniq = sorted(set(terms))
+        if mode == "and":
+            present = [postings[t] for t in uniq if t in postings]
+            if len(present) < len(uniq) or not present:
+                return QueryResult(
+                    np.empty(0, np.uint64),
+                    np.empty(0, np.float64),
+                    lookup_sec=t1 - t0,
+                )
+            ids, scores = _and_score(present, k)
+            return QueryResult(
+                ids, scores, lookup_sec=t1 - t0, score_sec=time.time() - t1
+            )
+        if mode == "or":
+            present = [postings[t] for t in uniq if t in postings]
+            ids, scores, wstats = wand_topk(present, k)
+            return QueryResult(
+                ids,
+                scores,
+                wand=wstats,
+                lookup_sec=t1 - t0,
+                score_sec=time.time() - t1,
+            )
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+
+    def search_df(
+        self, terms: list[str], mode: str = "or", k: int = 10
+    ) -> DataFrame:
+        """Driver-path search surfaced as a Spark DataFrame (entry contract)."""
+        res = self.search(terms, mode=mode, k=k)
+        pdf = res.to_pandas()
+        if pdf.empty:
+            return self.spark.createDataFrame([], schema=RESULT_SCHEMA)
+        return self.spark.createDataFrame(pdf, schema=RESULT_SCHEMA)
+
+    # ------------------------------------------------- distributed path ----
+
+    def search_distributed(
+        self, terms: list[str], mode: str = "or", k: int = 10
+    ) -> DataFrame:
+        """Cluster-scale scoring: decode posting rows in executors, pivot
+        one weight column per query term (fixed expression order -> IEEE
+        deterministic float64 sum), top-k via ORDER BY + LIMIT.
+
+        Scales with the candidate set: each (term, salt) posting row decodes
+        independently in its executor; no driver collect of postings."""
+        uniq = sorted(set(terms))
+        n_docs, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
+        scan = self._postings_scan(uniq)
+
+        decode_schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("term", StringType(), False),
+                StructField("weight", DoubleType(), False),
+            ]
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                # loop is over (term, salt) index ROWS (a handful per query),
+                # never over postings — decode itself is vectorized numpy
+                for _, row in pdf.iterrows():
+                    ids = codec.decode_delta_varint(bytes(row["doc_ids"]))
+                    tfs = codec.decode_varint(bytes(row["tfs"]))
+                    dls = codec.decode_varint(bytes(row["doclens"]))
+                    impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": ids.astype(np.int64),
+                                "term": row["term"],
+                                "impact": impacts,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs).rename(columns={"impact": "weight"})
+
+        # df per term must be the SALT-MERGED df; compute from terms table
+        terms_df = (
+            self.store.read_table(self.spark, "terms")
+            .filter(F.col("term").isin(uniq))
+            .select("term", "df")
+        )
+        decoded = scan.mapInPandas(decode, schema=decode_schema).join(
+            F.broadcast(terms_df), "term"
+        )
+        decoded = decoded.withColumn(
+            "weight",
+            F.log1p(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("weight"),
+        )
+        # pivot: one column per term, fixed fold order = lexicographic
+        agg_cols = [
+            F.sum(F.when(F.col("term") == t, F.col("weight"))).alias(f"w_{i}")
+            for i, t in enumerate(uniq)
+        ]
+        per_doc = decoded.groupBy("doc_id").agg(
+            *agg_cols, F.count(F.lit(1)).alias("nmatch")
+        )
+        score_col = None
+        for i in range(len(uniq)):
+            c = F.coalesce(F.col(f"w_{i}"), F.lit(0.0))
+            score_col = c if score_col is None else score_col + c
+        per_doc = per_doc.withColumn("score", score_col.cast(DoubleType()))
+        if mode == "and":
+            per_doc = per_doc.filter(F.col("nmatch") == len(uniq))
+        return (
+            per_doc.select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+
+def _and_score(
+    postings: list[TermPostings], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive scoring: progressive sorted-array intersection starting
+    from the rarest term (galloping via np.searchsorted/np.intersect1d),
+    then exact scoring of survivors in lex term order."""
+    by_size = sorted(postings, key=lambda p: p.n)
+    common = by_size[0].doc_ids
+    for p in by_size[1:]:
+        if common.size == 0:
+            break
+        common = common[
+            np.isin(common, p.doc_ids, assume_unique=True)
+        ]
+    if common.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    scores = np.zeros(common.size, dtype=np.float64)
+    for p in sorted(postings, key=lambda p: p.term):  # lex fold order
+        pos = np.searchsorted(p.doc_ids, common)
+        scores += p.weights[pos]
+    order = np.lexsort((common, -scores))[:k]
+    return common[order], scores[order]
