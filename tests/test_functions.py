@@ -1,0 +1,177 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "der hund und die katze sind nicht da"),
+        (4, "le chat est dans la maison pour le diner"),
+        (5, "completely unrelated words here zebra xylophone"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from excelastic_spark.functions.dedup import dedup_exact, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs, "text", "doc_id").toPandas()
+    dup = groups[groups.n_dups > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keeper_id"] == 0
+    kept = dedup_exact(docs, "text", "doc_id").toPandas()
+    assert 1 not in set(kept["doc_id"])
+    assert len(kept) == 6
+
+
+def test_ngram_jaccard_near_dup(docs):
+    from excelastic_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3).toPandas()
+    pairset = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in pairset  # identical
+    assert (0, 2) in pairset and (1, 2) in pairset  # one-word-off
+    assert all(a < b for a, b in pairset)
+    full = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert full.iloc[0]["jaccard_e6"] == 1_000_000
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from excelastic_spark.functions.dedup import minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(docs, "text", "doc_id").toPandas()
+    pairset = {(a, b) for a, b in zip(cand.id_a, cand.id_b)}
+    assert (0, 1) in pairset  # identical docs always collide on all bands
+    # unrelated docs should not be candidates
+    assert (3, 5) not in pairset and (4, 5) not in pairset
+
+
+def test_simhash_near_dups(docs):
+    from excelastic_spark.functions.dedup import simhash64, simhash_near_dups
+
+    fp = docs.filter(F.col("text") != "").select(
+        "doc_id", simhash64(F.col("text")).alias("fp")
+    ).toPandas()
+    fps = dict(zip(fp.doc_id, fp.fp))
+    assert fps[0] == fps[1]  # identical text -> identical fingerprint
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    ham05 = bin(fps[0] ^ fps[5]).count("1")
+    assert ham02 < ham05  # near dup closer than unrelated
+    pairs = simhash_near_dups(docs, "text", "doc_id", max_hamming=3).toPandas()
+    pairset = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in pairset
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):
+        if i < 3:  # cluster of near-dups
+            v = base + rng.standard_normal(8) * 0.01
+        else:
+            v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_cosine_topk(spark, emb):
+    from excelastic_spark.functions.similarity import brute_cosine_topk
+
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    top = brute_cosine_topk(emb, [float(x) for x in q], k=3).toPandas()
+    assert list(top.vec_id[:1]) == [0]
+    assert top.iloc[0]["cosine_e6"] == 1_000_000
+    assert set(top.vec_id) == {0, 1, 2}  # the near-dup cluster
+
+
+def test_ivf_matches_brute_when_probing_right_cell(spark, emb):
+    from excelastic_spark.functions.similarity import brute_cosine_topk, ivf_topk
+
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    ivf = ivf_topk(emb, cents, q, k=3, nprobe=2).toPandas()
+    assert 0 in set(ivf.vec_id)  # query vector found in probed cell
+    brute = brute_cosine_topk(emb, q, k=1).toPandas()
+    assert ivf.iloc[0]["cosine_e6"] == brute.iloc[0]["cosine_e6"]
+
+
+def test_embedding_near_dup_and_lsh(spark, emb):
+    from excelastic_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    exact = embedding_near_dup_pairs(emb, threshold=0.99).toPandas()
+    exact_pairs = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    assert {(0, 1), (0, 2), (1, 2)} <= exact_pairs
+    lsh = lsh_near_dup_pairs(
+        emb, threshold=0.99, n_planes=6, n_tables=8, dim=8
+    ).toPandas()
+    lsh_pairs = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
+    assert (0, 1) in lsh_pairs  # LSH recalls the tight cluster
+    assert lsh_pairs <= exact_pairs  # verification keeps it exact-subset
+
+
+def test_text_functions(spark, docs):
+    from excelastic_spark.functions.text import (
+        doc_fingerprint,
+        lang_id,
+        quality_score_e6,
+        token_count,
+    )
+
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        lang_id(F.col("text")).alias("lang"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0, "n"] == 9
+    assert out.loc[6, "n"] == 0
+    assert out.loc[0, "lang"] == "en"
+    assert out.loc[3, "lang"] == "de"
+    assert out.loc[4, "lang"] == "fr"
+    assert out.loc[5, "lang"] == "und"
+    assert out.loc[0, "fp"] == out.loc[1, "fp"]  # same token stream
+    assert out.loc[0, "fp"] != out.loc[2, "fp"]
+    q = quality_score_e6(docs, "text").toPandas().set_index("doc_id")
+    assert q.loc[6, "quality_e6"] == 0
+    assert q.loc[0, "quality_e6"] > q.loc[6, "quality_e6"]
+
+
+def test_multimodal_plumbing(spark):
+    from excelastic_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media, dim=8).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats.feature)
+    # determinism: same payload -> same feature
+    f2 = extract_features(media, dim=8).toPandas().sort_values("media_id")
+    f1 = feats.sort_values("media_id")
+    assert all(
+        np.array_equal(a, b) for a, b in zip(f1.feature, f2.feature)
+    )
+    frames = frame_sample_plan(media, every_ms=1000).toPandas()
+    assert len(frames) > 0
+    assert (frames.frame_ts_ms % 1000 == 0).all()
+    # real decoder is an explicit stub
+    with pytest.raises(Exception):
+        extract_features(media, dim=8, decoder="real").collect()
