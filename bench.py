@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract): build + query the inverted index at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Headline metrics:
+  * build_docs_per_sec  — index-build throughput over the sf documents table
+  * synth_build_docs_per_sec — same over the 20k-doc deterministic synthetic
+    code corpus (Zipf-skewed hot terms -> exercises salting at scale)
+  * per-query p50 latency for the reference query set (seconds)
+
+Scaling (N vs 4N parallelism) is measured by bench_scaling.py -> BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "5"))
+
+QUERY_SET = [
+    ("q_or_hot2", ["table", "query"], "or", 10),
+    ("q_or_hot3", ["scan", "value", "stream"], "or", 10),
+    ("q_and_hot2", ["table", "query"], "and", 10),
+    ("q_and_hot3", ["customer", "window", "sort"], "and", 10),
+    ("q_or_mixed", ["table", "zzznotaterm"], "or", 10),
+    ("q_k100", ["hash", "join", "merge"], "or", 100),
+]
+SYNTH_QUERY_SET = [
+    ("s_or_hot", ["import", "return"], "or", 10),
+    ("s_and_hot", ["def", "class", "self"], "and", 10),
+    ("s_or_rare", ["import", "sym0100", "uniq42"], "or", 10),
+    ("s_or_wide", ["while", "for", "if", "else"], "or", 25),
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from excelastic_spark.build import IndexBuilder
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.config import EngineConfig
+    from excelastic_spark.corpus import documents_as_corpus, synthesize_corpus
+    from excelastic_spark.query import QueryEngine
+    from excelastic_spark.session import get_spark
+
+    cfg = EngineConfig(
+        n_buckets=16,
+        block_size=128,
+        salt_threshold=2000,
+        salt_target=1000,
+        shuffle_partitions=int(CPUS),
+    )
+    spark = get_spark(app_name="excelastic-bench", master=f"local[{CPUS}]", config=cfg)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wh = "/tmp/excelastic_bench_wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    queries: dict[str, float] = {}
+
+    # ---- build over the driver documents table ----
+    store = IndexStore(wh, "docs_idx")
+    corpus = documents_as_corpus(spark, SF_DIR)
+    n_docs = corpus.count()
+    t0 = time.time()
+    IndexBuilder(spark, store, cfg).build(corpus, pre_ingested=True)
+    build_sec = time.time() - t0
+    queries["build_docs_table"] = round(build_sec, 3)
+
+    # ---- build over the synthetic code corpus (salting exercised) ----
+    synth_cfg = cfg.with_overrides(salt_threshold=4000, salt_target=2000)
+    store2 = IndexStore(wh, "synth_idx")
+    synth = synthesize_corpus(spark, SYNTH_DOCS, partitions=int(CPUS))
+    t0 = time.time()
+    IndexBuilder(spark, store2, synth_cfg).build(synth)
+    synth_sec = time.time() - t0
+    queries["build_synth"] = round(synth_sec, 3)
+
+    # ---- query latency p50 ----
+    qe = QueryEngine(spark, store, cfg)
+    qe2 = QueryEngine(spark, store2, synth_cfg)
+    lat_all = []
+    for name, terms, mode, k in QUERY_SET + SYNTH_QUERY_SET:
+        eng = qe if name.startswith("q_") else qe2
+        times = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            eng.search(terms, mode=mode, k=k)
+            times.append(time.time() - t0)
+        p50 = statistics.median(times)
+        queries[name] = round(p50, 4)
+        lat_all.append(p50)
+
+    total = queries["build_docs_table"] + queries["build_synth"] + sum(lat_all)
+    out = {
+        "metric": "index_build_plus_query_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "synth_build_docs_per_sec": round(SYNTH_DOCS / synth_sec, 1),
+        "query_p50_sec": round(statistics.median(lat_all), 4),
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

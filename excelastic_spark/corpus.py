@@ -6,10 +6,11 @@ deterministic, seeded, code-like content with Zipf term skew so ``import`` /
 ``return`` are genuinely high-df (exercises salting). Schema per
 BASELINE.json:input_hint: (repo, path, commit, lang, content).
 
-Ingest assigns a dense deterministic ``doc_id`` by global (repo, path,
-commit) order WITHOUT a single-partition window: range-repartition + sort
-within partitions + per-partition offset cumsum (scales to 10^12 rows; the
-offsets table is one tiny collect of n_partitions rows). It validates
+Ingest assigns a dense deterministic ``doc_id`` WITHOUT a single-partition
+window: data-derived hash buckets + per-bucket offsets + within-bucket
+row_number (scales to 10^12 rows; the offsets table is one tiny collect of
+n_buckets rows; see assign_doc_ids for why the buckets must be data-derived
+and not partition ids). It validates
 fail-fast before any table write — the analog of the reference's
 ``initialize()`` dry-run parse (ExcelParser.java:90-102, README.md:15) —
 and stamps per-row ``sha256(content)`` for the ingest invariant.
@@ -151,37 +152,36 @@ def validate_corpus(corpus: DataFrame) -> int:
 
 
 def assign_doc_ids(corpus: DataFrame, partitions: int = 64) -> DataFrame:
-    """Dense deterministic int64 doc_id in global (repo, path, commit)
-    order, computed scalably:
+    """Dense deterministic int64 doc_id, computed scalably in two passes:
 
-    range-repartition on the key -> sort within partitions -> per-partition
-    row_number + cumulative partition offsets (tiny driver collect of
-    n_partitions counts). No global single-partition window, so this holds
-    at 10^12 rows on a real cluster.
+    1. bucket = pmod(xxhash64(repo, path, commit), B) — DATA-derived, so it
+       is identical on any cluster size, any partitioning, AQE on or off
+       (a partition-id-based scheme would not be: AQE may coalesce the two
+       passes differently);
+    2. per-bucket counts (B tiny rows to the driver) -> cumulative offsets;
+    3. doc_id = offset[bucket] + row_number() within bucket ordered by key.
+
+    Dense 0..n-1, globally ordered by (bucket, repo, path, commit). No
+    single-partition global window, so this holds at 10^12 rows; the only
+    shuffles are one hash aggregate and one window shuffle on the uniform
+    bucket key.
     """
-    keyed = corpus.repartitionByRange(
-        partitions, "repo", "path", "commit"
-    ).sortWithinPartitions("repo", "path", "commit")
-    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
-    counts = (
-        with_pid.groupBy("_pid").count().orderBy("_pid").collect()
-    )
-    offsets = {}
+    bucket = F.pmod(
+        F.xxhash64("repo", "path", "commit"), F.lit(partitions)
+    ).cast("int")
+    with_b = corpus.withColumn("_bucket", bucket)
+    counts = with_b.groupBy("_bucket").count().collect()
+    offsets: dict[int, int] = {}
     acc = 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
+    for row in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[row["_bucket"]] = acc
         acc += row["count"]
-    offmap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
-    return (
-        with_pid.withColumn(
-            "doc_id",
-            (F.row_number().over(w) - 1 + offmap[F.col("_pid")]).cast(LongType()),
-        )
-        .drop("_pid")
-    )
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_bucket").orderBy("repo", "path", "commit")
+    return with_b.withColumn(
+        "doc_id",
+        (F.row_number().over(w) - 1 + offmap[F.col("_bucket")]).cast(LongType()),
+    ).drop("_bucket")
 
 
 def ingest_corpus(corpus: DataFrame, id_partitions: int = 64) -> DataFrame:
