@@ -4,14 +4,21 @@ Stage layout (each stage commits a lineage entry keyed by the input
 fingerprint, so a rerun resumes by skipping committed stages — the north
 rule's checkpoint/resume requirement):
 
-  validate  fail-fast dry-run (corpus.validate_corpus; analog of the
-            reference's initialize() pre-parse, ExcelParser.java:90-102)
-  docs      doc_id assignment + sha256 + doclen -> docs table
-  terms     df/cf per term + salting plan -> terms table
-  postings  salt -> shuffle on (term, salt) -> per-group vectorized
-            delta+varint encode + block-max metadata -> postings table,
-            parquet-partitioned by bucket(term) for lookup pruning
-  stats     1-row collection stats table
+  validate  fail-fast dry-run fused with the lineage fingerprint — ONE scan
+            (analog of the reference's initialize() pre-parse,
+            ExcelParser.java:90-102 + README.md:15)
+  ingest    doc_id assignment + sha256 -> ingested table (corpus snapshot)
+  triples   tokenize ONCE -> (doc_id, term, tf, doclen), persisted (both a
+            downstream input and a resume checkpoint)
+  docs      skinny doc-metadata table (doc_id, key, lang, sha256, doclen)
+  terms     df/cf per term + salting plan
+  postings  salt -> ONE shuffle on (term, salt) -> sorted-run VECTORIZED
+            partition encoder (delta+varint + block-max, every numpy call
+            covers the whole partition, no per-group Python) -> one
+            lightweight exchange to bucket(term) alignment -> postings
+            table parquet-partitioned by bucket for lookup pruning
+  stats     collection stats assembled from the stages' Observation
+            metrics (no extra jobs)
 
 Skew handling: terms with df > cfg.salt_threshold are split into
 ceil(df/salt_target) salts by pmod(xxhash64(doc_id), S); ONLY the hot subset
@@ -20,9 +27,10 @@ is broadcast to the triples (the full vocabulary is never broadcast — at
 the (term, salt) shuffle has bounded partition sizes. The salted sub-lists
 are disjoint by doc and merged at query time (query.py).
 
-Metrics per stage (docs/sec, terms/sec, postings/sec, bytes compressed) go
-to the store's metrics.jsonl — the engine-grade analog of the reference's
-progress events (ElasticWriter.java:147-156).
+Per-stage metrics (docs/sec, terms/sec, postings/sec, bytes compressed) are
+collected via the Observation API DURING each write (no re-scan jobs) and
+logged to the store's metrics.jsonl — the engine-grade analog of the
+reference's progress events (ElasticWriter.java:147-156).
 """
 
 from __future__ import annotations
@@ -33,7 +41,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -48,8 +56,7 @@ from pyspark.sql.types import (
 from excelastic_spark import codec
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
-from excelastic_spark.corpus import ingest_corpus
-from excelastic_spark.stats import collection_stats, term_stats
+from excelastic_spark.corpus import ParserException, ingest_corpus
 from excelastic_spark.tokenizer import tokenize_triples
 
 POSTINGS_SCHEMA = StructType(
@@ -84,42 +91,136 @@ def bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast(IntegerType())
 
 
-def _encode_group(cfg: EngineConfig, avgdl: float):
-    """applyInPandas group encoder: one (term, salt) group -> one postings
-    row. All numpy-vectorized: sort, delta+varint, block-max."""
+def validate_and_fingerprint(corpus: DataFrame, pre_ingested: bool) -> tuple[str, int]:
+    """ONE aggregation pass: fail-fast validation (null keys/content,
+    duplicate keys — the initialize() dry-run analog) fused with the cheap
+    order-independent lineage fingerprint (count + crc sum)."""
+    key_cols = ("repo", "path", "commit")
+    agg = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("content").isNull()
+                | F.col("repo").isNull()
+                | F.col("path").isNull()
+                | F.col("commit").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("distinct_keys"),
+        F.sum(F.crc32(F.col("content"))).alias("crc"),
+    ).collect()[0]
+    if (agg["bad"] or 0) > 0:
+        raise ParserException(f"{agg['bad']} rows with null key/content")
+    if not pre_ingested and agg["distinct_keys"] != agg["n"]:
+        raise ParserException(
+            f"duplicate (repo,path,commit) keys: {agg['n'] - agg['distinct_keys']}"
+        )
+    return f"n={agg['n']},crc={agg['crc']}", int(agg["n"])
 
-    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt = key
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        dls = pdf["doclen"].to_numpy()[order].astype(np.uint64)
-        impacts = codec.bm25_impact(tfs, dls, avgdl, cfg.k1, cfg.b)
-        blk_last, blk_max = codec.block_metadata(doc_ids, impacts, cfg.block_size)
-        return pd.DataFrame(
+
+def corpus_fingerprint(corpus: DataFrame) -> str:
+    return validate_and_fingerprint(corpus, pre_ingested=True)[0]
+
+
+# ---------------------------------------------------------------------------
+# sorted-run vectorized posting encoder
+
+
+def _encode_partition(cfg: EngineConfig, avgdl: float):
+    """mapInPandas kernel: one hash(term, salt) shuffle partition ->
+    postings rows. EVERY numpy call below operates on the whole partition
+    at once (sort, delta with group resets, one varint encode per column,
+    reduceat block maxima); the only per-group Python is byte-buffer
+    slicing. This replaces a per-group applyInPandas, whose per-group
+    pandas-DataFrame overhead dominated at ~30k+ distinct terms."""
+    k1, b, B = cfg.k1, cfg.b, cfg.block_size
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        n = len(pdf)
+        # group-cluster sort WITHOUT comparing strings: factorize terms to
+        # int codes (hash pass), lexsort on (doc_id, salt, code). Inter-term
+        # order is irrelevant — only same-(term,salt) adjacency + doc_id
+        # order within a group matter — and this is ~5x faster than a
+        # string sort on multi-million-row partitions.
+        codes, _ = pd.factorize(pdf["term"], sort=False)
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(), pdf["salt"].to_numpy(), codes)
+        )
+        pdf = pdf.take(order)
+        codes = codes[order]
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        ids = pdf["doc_id"].to_numpy().astype(np.uint64)
+        tfs = pdf["tf"].to_numpy().astype(np.uint64)
+        dls = pdf["doclen"].to_numpy().astype(np.uint64)
+
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+        gstarts = np.flatnonzero(new_group)
+        ngroups = gstarts.size
+        gid = np.cumsum(new_group) - 1
+        gends = np.append(gstarts[1:], n)
+        glens = gends - gstarts
+
+        # delta encode doc_ids with a reset at each group start
+        deltas = ids.copy()
+        deltas[1:] = ids[1:] - ids[:-1]
+        deltas[gstarts] = ids[gstarts]
+
+        dbuf, dlen = codec.encode_varint_with_lengths(deltas)
+        tbuf, tlen = codec.encode_varint_with_lengths(tfs)
+        lbuf, llen = codec.encode_varint_with_lengths(dls)
+        doff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dlen, out=doff[1:])
+        toff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tlen, out=toff[1:])
+        loff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(llen, out=loff[1:])
+
+        # block-max metadata: blocks are B-runs within each group (the
+        # within-group index resets at group starts, so blocks never span
+        # groups)
+        within = np.arange(n, dtype=np.int64) - gstarts[gid]
+        bstart_rows = np.flatnonzero(within % B == 0)
+        bend_rows = np.append(bstart_rows[1:], n) - 1
+        impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
+        bmax = np.maximum.reduceat(impacts, bstart_rows)
+        blast = ids[bend_rows]
+        # per-group block ranges
+        bgid = gid[bstart_rows]
+        bcounts = np.bincount(bgid, minlength=ngroups)
+        bo = np.zeros(ngroups + 1, dtype=np.int64)
+        np.cumsum(bcounts, out=bo[1:])
+        blast_le = np.ascontiguousarray(blast, dtype="<u8")
+        bmax_le = np.ascontiguousarray(bmax, dtype="<f8")
+
+        s0, s1 = gstarts, gends
+        yield pd.DataFrame(
             {
-                "term": [term],
-                "salt": [int(salt)],
-                "n": [int(doc_ids.size)],
-                "doc_ids": [codec.encode_delta_varint(doc_ids)],
-                "tfs": [codec.encode_varint(tfs)],
-                "doclens": [codec.encode_varint(dls)],
-                "block_last": [codec.u64_to_bytes(blk_last)],
-                "block_max": [codec.f64_to_bytes(blk_max)],
+                "term": terms[gstarts],
+                "salt": salts[gstarts].astype("int32"),
+                "n": glens.astype("int64"),
+                "doc_ids": [
+                    dbuf[doff[a]:doff[z]] for a, z in zip(s0, s1)
+                ],
+                "tfs": [tbuf[toff[a]:toff[z]] for a, z in zip(s0, s1)],
+                "doclens": [lbuf[loff[a]:loff[z]] for a, z in zip(s0, s1)],
+                "block_last": [
+                    blast_le[bo[g]:bo[g + 1]].tobytes() for g in range(ngroups)
+                ],
+                "block_max": [
+                    bmax_le[bo[g]:bo[g + 1]].tobytes() for g in range(ngroups)
+                ],
             }
         )
 
     return fn
-
-
-def corpus_fingerprint(corpus: DataFrame) -> str:
-    """Cheap deterministic fingerprint of the input snapshot for lineage:
-    row count + order-independent crc aggregate over content."""
-    row = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.crc32(F.col("content"))).alias("crc"),
-    ).collect()[0]
-    return f"n={row['n']},crc={row['crc']}"
 
 
 class IndexBuilder:
@@ -129,6 +230,24 @@ class IndexBuilder:
         self.spark = spark
         self.store = store
         self.cfg = cfg or EngineConfig()
+
+    # ------------------------------------------------------------- helpers
+
+    def _write_observed(
+        self, df: DataFrame, table: str, aggs: dict[str, Any],
+        partition_by: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Write a stage table while collecting metrics IN the write job
+        (Observation API) — no separate count/agg jobs."""
+        obs = Observation(f"obs_{table}")
+        observed = df.observe(obs, *[v.alias(k) for k, v in aggs.items()])
+        self.store.write_table(observed, table, partition_by=partition_by)
+        return dict(obs.get)
+
+    def _table_count(self, table: str) -> int:
+        # parquet metadata count — used only on resume when the stage's
+        # observation was not collected in this run
+        return self.store.read_table(self.spark, table).count()
 
     # ------------------------------------------------------------------ api
 
@@ -145,45 +264,58 @@ class IndexBuilder:
         cfg, store, spark = self.cfg, self.store, self.spark
         if clear:
             store.drop()
-        fp = corpus_fingerprint(corpus)
+        # ---- stage: validate + fingerprint (one scan, fail-fast) ----
+        fp, n_input = validate_and_fingerprint(corpus, pre_ingested)
         metrics: dict[str, Any] = {"fingerprint": fp}
+        counts: dict[str, int] = {}
 
-        # ---- stage: ingest (validate + ids + sha256) ----
+        # ---- stage: ingest (ids + sha256 -> corpus snapshot) ----
         if not (store.stage_done("ingest", fp) and store.has_table("ingested")):
             t0 = time.time()
-            ingested = corpus if pre_ingested else ingest_corpus(corpus)
-            store.write_table(ingested, "ingested")
-            n_docs = store.read_table(spark, "ingested").count()
-            dt = time.time() - t0
-            metrics["ingest"] = store.log_metrics(
-                "ingest", n_docs=n_docs, sec=round(dt, 3),
-                docs_per_sec=round(n_docs / max(dt, 1e-9), 1),
+            ingested = corpus if pre_ingested else ingest_corpus(
+                corpus, validate=False
             )
-            store.commit_stage("ingest", fp, n_docs=n_docs)
+            got = self._write_observed(
+                ingested, "ingested", {"n": F.count(F.lit(1))}
+            )
+            dt = time.time() - t0
+            counts["n_docs"] = int(got["n"])
+            metrics["ingest"] = store.log_metrics(
+                "ingest", n_docs=counts["n_docs"], sec=round(dt, 3),
+                docs_per_sec=round(counts["n_docs"] / max(dt, 1e-9), 1),
+            )
+            store.commit_stage("ingest", fp, n_docs=counts["n_docs"])
 
         ingested = store.read_table(spark, "ingested")
 
-        # ---- stage: triples (tokenize ONCE, persisted for downstream
-        # stages and resume — the tokenize output is itself a checkpoint) ----
+        # ---- stage: triples (tokenize ONCE, persisted checkpoint) ----
         if not (store.stage_done("triples", fp) and store.has_table("triples")):
             t0 = time.time()
-            store.write_table(tokenize_triples(ingested), "triples")
-            n_triples = store.read_table(spark, "triples").count()
-            dt = time.time() - t0
-            metrics["tokenize"] = store.log_metrics(
-                "tokenize", n_triples=n_triples, sec=round(dt, 3),
-                triples_per_sec=round(n_triples / max(dt, 1e-9), 1),
+            got = self._write_observed(
+                tokenize_triples(ingested),
+                "triples",
+                {"n": F.count(F.lit(1)), "total_tf": F.sum("tf")},
             )
-            store.commit_stage("triples", fp, n_triples=n_triples)
+            dt = time.time() - t0
+            counts["n_triples"] = int(got["n"])
+            counts["total_tf"] = int(got["total_tf"] or 0)
+            metrics["tokenize"] = store.log_metrics(
+                "tokenize", n_triples=counts["n_triples"],
+                total_tokens=counts["total_tf"], sec=round(dt, 3),
+                triples_per_sec=round(counts["n_triples"] / max(dt, 1e-9), 1),
+            )
+            store.commit_stage(
+                "triples", fp, n_triples=counts["n_triples"],
+                total_tf=counts["total_tf"],
+            )
 
         triples = store.read_table(spark, "triples")
 
-        # ---- stage: docs (attach doclen) ----
+        # ---- stage: docs (skinny metadata + doclen; content stays in the
+        # ingested snapshot only — no duplicate storage of the corpus) ----
         if not (store.stage_done("docs", fp) and store.has_table("docs")):
             t0 = time.time()
-            doclens = triples.groupBy("doc_id").agg(
-                F.sum("tf").alias("doclen")
-            )
+            doclens = triples.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
             docs_out = ingested.join(doclens, "doc_id", "left").select(
                 "doc_id",
                 "repo",
@@ -192,46 +324,62 @@ class IndexBuilder:
                 "lang",
                 "sha256",
                 F.coalesce("doclen", F.lit(0)).cast(LongType()).alias("doclen"),
-                F.col("content"),
             )
-            store.write_table(docs_out, "docs")
-            n_docs = store.read_table(spark, "docs").count()
+            got = self._write_observed(docs_out, "docs", {"n": F.count(F.lit(1))})
             dt = time.time() - t0
+            counts["n_docs"] = int(got["n"])
             metrics["docs"] = store.log_metrics(
-                "docs", n_docs=n_docs, sec=round(dt, 3),
-                docs_per_sec=round(n_docs / max(dt, 1e-9), 1),
+                "docs", n_docs=counts["n_docs"], sec=round(dt, 3),
+                docs_per_sec=round(counts["n_docs"] / max(dt, 1e-9), 1),
             )
-            store.commit_stage("docs", fp, n_docs=n_docs)
+            store.commit_stage("docs", fp, n_docs=counts["n_docs"])
 
-        docs = store.read_table(spark, "docs")
-
-        # ---- stage: terms (df/cf + salt plan) ----
+        # ---- stage: terms (df/cf + salting plan) ----
         if not (store.stage_done("terms", fp) and store.has_table("terms")):
             t0 = time.time()
-            ts = term_stats(triples).withColumn(
-                "n_salts",
-                F.when(
-                    F.col("df") > cfg.salt_threshold,
-                    F.ceil(F.col("df") / cfg.salt_target).cast(IntegerType()),
-                ).otherwise(F.lit(1)),
-            ).withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-            store.write_table(ts, "terms", partition_by=["bucket"])
-            n_terms = store.read_table(spark, "terms").count()
-            dt = time.time() - t0
-            metrics["terms"] = store.log_metrics(
-                "terms", n_terms=n_terms, sec=round(dt, 3),
-                terms_per_sec=round(n_terms / max(dt, 1e-9), 1),
+            ts = (
+                triples.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+                .withColumn(
+                    "n_salts",
+                    F.when(
+                        F.col("df") > cfg.salt_threshold,
+                        F.ceil(F.col("df") / cfg.salt_target).cast(IntegerType()),
+                    ).otherwise(F.lit(1)),
+                )
+                .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
             )
-            store.commit_stage("terms", fp, n_terms=n_terms)
+            got = self._write_observed(
+                ts, "terms", {"n": F.count(F.lit(1))}, partition_by=["bucket"]
+            )
+            dt = time.time() - t0
+            counts["n_terms"] = int(got["n"])
+            metrics["terms"] = store.log_metrics(
+                "terms", n_terms=counts["n_terms"], sec=round(dt, 3),
+                terms_per_sec=round(counts["n_terms"] / max(dt, 1e-9), 1),
+            )
+            store.commit_stage("terms", fp, n_terms=counts["n_terms"])
 
         terms = store.read_table(spark, "terms")
 
-        # ---- stage: stats ----
+        # ---- stage: stats (assembled from observations; falls back to
+        # cheap metadata counts when resuming past a stage) ----
         if not (store.stage_done("stats", fp) and store.has_table("stats")):
-            n_docs, avgdl = collection_stats(docs, triples)
-            n_terms = terms.count()
-            stats_df = self.spark.createDataFrame(
-                [(n_docs, float(avgdl), n_terms, cfg.k1, cfg.b, cfg.block_size)],
+            st = store.manifest()["stages"]
+            n_docs = counts.get("n_docs") or st.get("docs", {}).get("n_docs") \
+                or self._table_count("docs")
+            total_tf = counts.get("total_tf")
+            if total_tf is None:
+                total_tf = st.get("triples", {}).get("total_tf")
+            if total_tf is None:
+                total_tf = int(
+                    triples.agg(F.sum("tf")).collect()[0][0] or 0
+                )
+            n_terms = counts.get("n_terms") or st.get("terms", {}).get("n_terms") \
+                or self._table_count("terms")
+            avgdl = float(total_tf) / n_docs if n_docs else 0.0
+            stats_df = spark.createDataFrame(
+                [(n_docs, avgdl, n_terms, cfg.k1, cfg.b, cfg.block_size)],
                 schema=STATS_SCHEMA,
             )
             store.write_table(stats_df, "stats")
@@ -263,32 +411,40 @@ class IndexBuilder:
             )
             postings = (
                 salted.repartition(cfg.shuffle_partitions, "term", "salt")
-                .groupBy("term", "salt")
-                .applyInPandas(_encode_group(cfg, avgdl), schema=POSTINGS_SCHEMA)
+                .mapInPandas(_encode_partition(cfg, avgdl), schema=POSTINGS_SCHEMA)
                 .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
+                # align output files with the bucket partitioning: one
+                # lightweight exchange of the already-compressed rows so a
+                # term lookup reads O(1) files, not O(shuffle_partitions)
+                .repartition(cfg.n_buckets, "bucket")
             )
-            store.write_table(postings, "postings", partition_by=["bucket"])
-            written = store.read_table(spark, "postings")
-            agg = written.agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum("n").alias("postings"),
-                F.sum(
-                    F.length("doc_ids")
-                    + F.length("tfs")
-                    + F.length("doclens")
-                    + F.length("block_last")
-                    + F.length("block_max")
-                ).alias("bytes"),
-            ).collect()[0]
+            got = self._write_observed(
+                postings,
+                "postings",
+                {
+                    "rows": F.count(F.lit(1)),
+                    "postings": F.sum("n"),
+                    "bytes": F.sum(
+                        F.length("doc_ids")
+                        + F.length("tfs")
+                        + F.length("doclens")
+                        + F.length("block_last")
+                        + F.length("block_max")
+                    ),
+                },
+                partition_by=["bucket"],
+            )
             dt = time.time() - t0
             metrics["postings"] = store.log_metrics(
                 "postings",
-                rows=agg["rows"],
-                postings=agg["postings"],
-                bytes_compressed=agg["bytes"],
+                rows=int(got["rows"]),
+                postings=int(got["postings"] or 0),
+                bytes_compressed=int(got["bytes"] or 0),
                 sec=round(dt, 3),
-                postings_per_sec=round((agg["postings"] or 0) / max(dt, 1e-9), 1),
+                postings_per_sec=round(
+                    (got["postings"] or 0) / max(dt, 1e-9), 1
+                ),
             )
-            store.commit_stage("postings", fp, rows=agg["rows"])
+            store.commit_stage("postings", fp, rows=int(got["rows"]))
 
         return metrics

@@ -99,7 +99,13 @@ class IndexStore:
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
         loc = self.table_path(table)
         paths = loc if isinstance(loc, list) else [loc]
-        return spark.read.parquet(*paths)
+        # one read per snapshot, unioned: each snapshot root does its own
+        # hive partition discovery (a single multi-root read conflicts);
+        # partition pruning pushes into every branch of the union
+        df = spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            df = df.unionByName(spark.read.parquet(p))
+        return df
 
     def drop(self) -> None:
         """DELETE <index> analog (reference: ElasticWriter.java:186-194,

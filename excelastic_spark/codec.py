@@ -26,12 +26,15 @@ _MASK7 = _U64(0x7F)
 # ---------------------------------------------------------------- varint ---
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative integers. Vectorized: loops
-    over the (<=10) byte positions, not over values."""
+def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array of non-negative integers; also return the
+    per-value byte lengths so callers can slice the stream into sub-ranges
+    (the sorted-run posting builder encodes a whole partition in ONE call
+    and splits per term by these offsets). Vectorized: loops over the
+    (<=10) byte positions, not over values."""
     v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value = number of 7-bit groups (>= 1)
     nbytes = np.ones(v.size, dtype=np.int64)
     rest = v >> _SEVEN
@@ -46,7 +49,11 @@ def encode_varint(values: np.ndarray) -> bytes:
         byte = ((v[active] >> _U64(7 * i)) & _MASK7).astype(np.uint8)
         cont = (nbytes[active] > i + 1).astype(np.uint8) << 7
         out[offsets[active] + i] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    return encode_varint_with_lengths(values)[0]
 
 
 def decode_varint(buf: bytes) -> np.ndarray:

@@ -39,6 +39,12 @@ class EngineConfig:
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
+    # scan/shuffle partition sizing: Spark's 128MB/64MB defaults are right
+    # at 100 TB; at bench scale (hundreds of MB) they collapse scans to a
+    # couple of tasks and starve the cluster — size them so tasks ~ cores
+    # ("size maxPartitionBytes so partitions fit memory at the target SF")
+    files_max_partition_bytes: int | None = None
+    advisory_partition_bytes: int | None = None
 
     # --- warehouse (catalog seam; see catalog.py) ---
     warehouse: str = field(

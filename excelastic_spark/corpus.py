@@ -184,11 +184,16 @@ def assign_doc_ids(corpus: DataFrame, partitions: int = 64) -> DataFrame:
     ).drop("_bucket")
 
 
-def ingest_corpus(corpus: DataFrame, id_partitions: int = 64) -> DataFrame:
+def ingest_corpus(
+    corpus: DataFrame, id_partitions: int = 64, validate: bool = True
+) -> DataFrame:
     """Validate + assign doc_id + stamp sha256(content) (the per-row
     invariant from BASELINE.json:input_hint). Returns docs DataFrame
-    (doc_id, repo, path, commit, lang, content, sha256)."""
-    validate_corpus(corpus)
+    (doc_id, repo, path, commit, lang, content, sha256). ``validate=False``
+    when the caller already ran the fused validate+fingerprint pass
+    (build.validate_and_fingerprint)."""
+    if validate:
+        validate_corpus(corpus)
     with_ids = assign_doc_ids(corpus, partitions=id_partitions)
     return with_ids.withColumn("sha256", F.sha2(F.col("content"), 256))
 

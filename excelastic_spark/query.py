@@ -49,7 +49,15 @@ from excelastic_spark import codec
 from excelastic_spark.build import bucket_expr
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
-from excelastic_spark.wand import TermPostings, WandStats, wand_topk
+from excelastic_spark.wand import TermPostings, WandStats, exhaustive_or, wand_topk
+
+# cost model for the disjunctive path: exhaustive scoring is one vectorized
+# numpy pass over all postings (~1e8 postings/sec); WAND's pivot loop is
+# ~1e5 pivots/sec but skips most postings on selective queries. Below this
+# size the vectorized pass always wins; above it WAND wins unless k is a
+# large fraction of the candidate set (nothing to prune).
+WAND_MIN_POSTINGS = 200_000
+WAND_MAX_K_FRACTION = 0.1
 
 RESULT_SCHEMA = StructType(
     [
@@ -138,15 +146,16 @@ class QueryEngine:
             idf = float(codec.bm25_idf(self.n_docs, df))
             impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
             weights = idf * impacts
-            if len(parts) == 1:
-                blk_last = codec.u64_from_bytes(bytes(parts[0]["block_last"]))
-                blk_max = codec.f64_from_bytes(bytes(parts[0]["block_max"])) * idf
-            else:
-                # salted lists were interleaved: rebuild block metadata
-                blk_last, blk_imp = codec.block_metadata(
-                    ids, impacts, self.cfg.block_size
-                )
-                blk_max = blk_imp * idf
+            # Block bounds are recomputed from the decoded impacts (one
+            # reduceat — negligible next to the decode) rather than read
+            # from storage: stored bounds were computed with BUILD-time
+            # stats, and after segment appends shift avgdl they could
+            # UNDER-estimate, making WAND pruning unsafe. The stored
+            # block_max remains for segment-level pre-decode pruning.
+            blk_last, blk_imp = codec.block_metadata(
+                ids, impacts, self.cfg.block_size
+            )
+            blk_max = blk_imp * idf
             out[term] = TermPostings(
                 term=term,
                 doc_ids=ids,
@@ -159,8 +168,11 @@ class QueryEngine:
     # ---------------------------------------------------------- search ----
 
     def search(
-        self, terms: list[str], mode: str = "or", k: int = 10
+        self, terms: list[str], mode: str = "or", k: int = 10, algo: str = "auto"
     ) -> QueryResult:
+        """``algo``: 'auto' picks WAND vs vectorized exhaustive scoring by
+        the cost model above; 'wand'/'exhaustive' force a path. All paths
+        produce bit-identical results (test_wand_equals_exhaustive)."""
         t0 = time.time()
         postings = self.lookup(terms)
         t1 = time.time()
@@ -179,7 +191,17 @@ class QueryEngine:
             )
         if mode == "or":
             present = [postings[t] for t in uniq if t in postings]
-            ids, scores, wstats = wand_topk(present, k)
+            total = sum(p.n for p in present)
+            use_wand = algo == "wand" or (
+                algo == "auto"
+                and total >= WAND_MIN_POSTINGS
+                and k <= WAND_MAX_K_FRACTION * total
+            )
+            if use_wand:
+                ids, scores, wstats = wand_topk(present, k)
+            else:
+                ids, scores = exhaustive_or(present, k)
+                wstats = None
             return QueryResult(
                 ids,
                 scores,

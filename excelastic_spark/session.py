@@ -39,8 +39,20 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    if cfg.files_max_partition_bytes:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(cfg.files_max_partition_bytes)
+        ).config(
+            "spark.sql.files.openCostInBytes",
+            str(max(cfg.files_max_partition_bytes // 4, 64 * 1024)),
+        )
+    if cfg.advisory_partition_bytes:
+        builder = builder.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(cfg.advisory_partition_bytes),
+        )
     return builder.getOrCreate()
 
 
@@ -52,3 +64,16 @@ def tune_session(spark: SparkSession, cfg: EngineConfig) -> None:
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch_size)
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if cfg.files_max_partition_bytes:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(cfg.files_max_partition_bytes)
+        )
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            str(max(cfg.files_max_partition_bytes // 4, 64 * 1024)),
+        )
+    if cfg.advisory_partition_bytes:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(cfg.advisory_partition_bytes),
+        )

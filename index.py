@@ -1,0 +1,105 @@
+"""CLI entry: build / query / append / merge / stats over a warehouse index.
+
+Analog of the reference's command-line surface
+(/root/reference/src/main/java/com/codingchili/excelastic/controller/CommandLine.java:21-72
+and ImportEvent.fromCommandLineArgs, model/ImportEvent.java:56-64):
+`<file> <index> [--clear] [--offset n] ...` becomes explicit subcommands.
+Run via spark-submit on a cluster:
+
+    spark-submit --py-files engine.zip index.py build --corpus s3://... \
+        --warehouse s3://.../wh --name code_idx --clear
+
+or plain `python index.py ...` locally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="index.py", description=__doc__)
+    p.add_argument("--warehouse", default="/tmp/excelastic_warehouse")
+    p.add_argument("--name", default="default")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build from a corpus table")
+    b.add_argument("--corpus", required=True, help="parquet path of (repo, path, commit, lang, content)")
+    b.add_argument("--clear", action="store_true", help="drop the index first (reference --clear, ElasticWriter.java:186-194)")
+    b.add_argument("--pre-ingested", action="store_true", help="corpus already has doc_id + sha256")
+    b.add_argument("--salt-threshold", type=int, default=None)
+    b.add_argument("--block-size", type=int, default=None)
+    b.add_argument("--buckets", type=int, default=None)
+
+    q = sub.add_parser("query", help="top-k BM25 search")
+    q.add_argument("--terms", required=True, help="comma-separated query terms")
+    q.add_argument("--mode", choices=["and", "or"], default="or")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--distributed", action="store_true")
+
+    a = sub.add_parser("append", help="append an increment to the index")
+    a.add_argument("--corpus", required=True)
+
+    sub.add_parser("merge", help="compact postings segments")
+    sub.add_parser("stats", help="print collection stats + stage metrics")
+
+    args = p.parse_args(argv)
+
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.config import EngineConfig
+    from excelastic_spark.session import get_spark
+
+    cfg = EngineConfig(warehouse=args.warehouse)
+    if args.cmd == "build":
+        over = {}
+        if args.salt_threshold:
+            over["salt_threshold"] = args.salt_threshold
+        if args.block_size:
+            over["block_size"] = args.block_size
+        if args.buckets:
+            over["n_buckets"] = args.buckets
+        cfg = cfg.with_overrides(**over)
+    spark = get_spark(app_name=f"excelastic-{args.cmd}", master=args.master, config=cfg)
+    store = IndexStore(args.warehouse, args.name)
+
+    if args.cmd == "build":
+        from excelastic_spark.build import IndexBuilder
+
+        corpus = spark.read.parquet(args.corpus)
+        metrics = IndexBuilder(spark, store, cfg).build(
+            corpus, clear=args.clear, pre_ingested=args.pre_ingested
+        )
+        print(json.dumps(metrics, default=str))
+    elif args.cmd == "query":
+        from excelastic_spark.query import QueryEngine
+
+        qe = QueryEngine(spark, store, cfg)
+        terms = [t for t in args.terms.split(",") if t]
+        if args.distributed:
+            rows = qe.search_distributed(terms, args.mode, args.k).collect()
+            out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+        else:
+            res = qe.search(terms, args.mode, args.k)
+            out = res.to_pandas().to_dict("records")
+        print(json.dumps(out))
+    elif args.cmd == "append":
+        from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+        inc = IncrementalIndexer(spark, store, cfg)
+        print(json.dumps(inc.append_increment(spark.read.parquet(args.corpus)), default=str))
+    elif args.cmd == "merge":
+        from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+        print(json.dumps(IncrementalIndexer(spark, store, cfg).merge_segments(), default=str))
+    elif args.cmd == "stats":
+        st = store.read_table(spark, "stats").collect()[0].asDict()
+        print(json.dumps(st))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,7 +50,7 @@ def built(spark, tmp_path_factory):
     corpus = synthesize_corpus(spark, N_DOCS, partitions=4)
     metrics = IndexBuilder(spark, store, cfg).build(corpus)
     docs_pd = (
-        store.read_table(spark, "docs")
+        store.read_table(spark, "ingested")
         .select("doc_id", "content")
         .toPandas()
     )
@@ -178,7 +178,7 @@ def test_distributed_path_parity(built):
 
 def test_wand_prunes_on_real_corpus(built):
     _, _, qe, _, _ = built
-    res = qe.search(["import", "return", "def"], "or", 5)
+    res = qe.search(["import", "return", "def"], "or", 5, algo="wand")
     assert res.wand is not None
     assert res.wand.docs_skipped + res.wand.blocks_skipped > 0
 

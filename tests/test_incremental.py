@@ -1,0 +1,95 @@
+"""Incremental append + segment merge + streaming ingest: after any
+sequence of appends (and after merge) queries must be rank-identical to a
+from-scratch oracle over the full corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from excelastic_spark.build import IndexBuilder
+from excelastic_spark.catalog import IndexStore
+from excelastic_spark.config import EngineConfig
+from excelastic_spark.corpus import synthesize_corpus
+from excelastic_spark.oracle.bm25 import Bm25Oracle
+from excelastic_spark.query import QueryEngine
+from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+CFG = EngineConfig().tiny().with_overrides(shuffle_partitions=4)
+QS = [
+    (["import", "return"], "or", 10),
+    (["def", "class"], "and", 10),
+    (["import", "sym0100"], "or", 10),
+]
+
+
+def _oracle_for(spark, store):
+    pdf = (
+        store.read_table(spark, "ingested")
+        .select("doc_id", "content")
+        .toPandas()
+    )
+    return Bm25Oracle(pdf)
+
+
+def _assert_matches_oracle(spark, store):
+    qe = QueryEngine(spark, store, CFG)
+    oracle = _oracle_for(spark, store)
+    assert qe.n_docs == oracle.n_docs
+    assert qe.avgdl == oracle.avgdl
+    for terms, mode, k in QS:
+        got = qe.search(terms, mode, k).to_pandas()
+        exp = oracle.search(terms, mode, k)
+        assert list(got["doc_id"]) == list(exp["doc_id"]), (terms, mode)
+        assert np.array_equal(
+            got["score"].to_numpy(), exp["score"].to_numpy()
+        ), (terms, mode)
+
+
+def test_append_then_merge(spark, tmp_path):
+    store = IndexStore(str(tmp_path), "inc")
+    base = synthesize_corpus(spark, 100, partitions=2)
+    IndexBuilder(spark, store, CFG).build(base)
+    inc = IncrementalIndexer(spark, store, CFG)
+
+    # increment with DIFFERENT paths (seed offset avoids key collisions)
+    more = synthesize_corpus(spark, 60, partitions=2, seed=77).withColumn(
+        "path", F.concat(F.lit("inc/"), F.col("path"))
+    )
+    inc.append_increment(more)
+    docs = store.read_table(spark, "docs")
+    assert docs.count() == 160
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(160))  # ids stay dense across appends
+    # postings now have multiple segments; queries still exact
+    _assert_matches_oracle(spark, store)
+
+    # merge compacts segments; results unchanged
+    inc.merge_segments()
+    _assert_matches_oracle(spark, store)
+    # after merge the hot terms are re-salted in one segment
+    postings = store.read_table(spark, "postings")
+    assert postings.filter(F.col("term") == "import").count() >= 1
+
+
+def test_streaming_ingest(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    store = IndexStore(str(tmp_path / "wh"), "stream")
+    synthesize_corpus(spark, 80, partitions=2).write.mode("append").parquet(indir)
+
+    inc = IncrementalIndexer(spark, store, CFG)
+    q = inc.stream_from_directory(indir, ckpt, trigger_once=True)
+    q.awaitTermination(300)
+    assert store.read_table(spark, "docs").count() == 80
+    _assert_matches_oracle(spark, store)
+
+    # second batch of files: exactly-once (old files not reprocessed)
+    synthesize_corpus(spark, 40, partitions=1, seed=99).withColumn(
+        "path", F.concat(F.lit("b1/"), F.col("path"))
+    ).write.mode("append").parquet(indir)
+    q2 = inc.stream_from_directory(indir, ckpt, trigger_once=True)
+    q2.awaitTermination(300)
+    assert store.read_table(spark, "docs").count() == 120
+    _assert_matches_oracle(spark, store)

@@ -1,0 +1,60 @@
+"""Plan audits: pushdown + pruning + no row-UDFs on the query path
+(BASELINE.md hot-path requirement; '.explain the plan and iterate')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from excelastic_spark.build import IndexBuilder
+from excelastic_spark.catalog import IndexStore
+from excelastic_spark.config import EngineConfig
+from excelastic_spark.corpus import synthesize_corpus
+from excelastic_spark.plans.audit import (
+    assert_no_python_row_udf,
+    assert_partition_pruned,
+    assert_pushed_filters,
+    explain_str,
+)
+from excelastic_spark.query import QueryEngine
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("planwh"))
+    cfg = EngineConfig().tiny().with_overrides(shuffle_partitions=4)
+    store = IndexStore(wh, "plans")
+    IndexBuilder(spark, store, cfg).build(
+        synthesize_corpus(spark, 80, partitions=2)
+    )
+    return store, cfg
+
+
+def test_term_lookup_pushdown_and_pruning(spark, small_index):
+    store, cfg = small_index
+    qe = QueryEngine(spark, store, cfg)
+    scan = qe._postings_scan(["import", "return"])
+    # term IN (...) pushed into the parquet row groups
+    assert_pushed_filters(scan, "In(term")
+    # bucket filter prunes partitions (directory-level)
+    assert_partition_pruned(scan, "bucket")
+    assert_no_python_row_udf(scan)
+
+
+def test_distributed_query_plan_no_row_udf(spark, small_index):
+    store, cfg = small_index
+    qe = QueryEngine(spark, store, cfg)
+    df = qe.search_distributed(["import", "return"], "or", 5)
+    assert_no_python_row_udf(df)
+    # top-k is TakeOrdered (per-partition heaps), not a global sort
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corpus_scan_column_pruning(spark, small_index):
+    store, _ = small_index
+    docs = store.read_table(spark, "docs").select("doc_id", "doclen")
+    plan = explain_str(docs)
+    # ReadSchema must carry only the projected columns, not sha/content
+    rs = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "doclen" in rs and "sha256" not in rs, rs
