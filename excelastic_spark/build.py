@@ -256,14 +256,21 @@ class IndexBuilder:
         corpus: DataFrame,
         clear: bool = False,
         pre_ingested: bool = False,
+        transform=None,
     ) -> dict[str, Any]:
         """Full build. ``clear`` = reference --clear (drop index first,
         ElasticWriter.java:186-194 / ImportEvent.java:45). ``pre_ingested``
         means ``corpus`` already has doc_id + sha256 columns (e.g. the
-        driver documents table) so doc_id assignment is skipped."""
+        driver documents table) so doc_id assignment is skipped.
+        ``transform`` is an optional DataFrame -> DataFrame ingest pipeline
+        applied before validation — the analog of the reference's ES
+        `pipeline=` pass-through (ElasticWriter.java:163-165); it must
+        preserve the corpus schema."""
         cfg, store, spark = self.cfg, self.store, self.spark
         if clear:
             store.drop()
+        if transform is not None:
+            corpus = transform(corpus)
         # ---- stage: validate + fingerprint (one scan, fail-fast) ----
         fp, n_input = validate_and_fingerprint(corpus, pre_ingested)
         metrics: dict[str, Any] = {"fingerprint": fp}
