@@ -100,10 +100,7 @@ class QueryEngine:
 
     # ---------------------------------------------------------- lookup ----
 
-    def _postings_scan(self, terms: list[str]) -> DataFrame:
-        """Pruned scan: partition pruning on bucket + predicate pushdown on
-        term. Reads only the query terms' rows from the index."""
-        pf = self.store.read_table(self.spark, "postings")
+    def _buckets_for(self, terms: list[str]) -> list[int]:
         missing = [t for t in terms if t not in self._bucket_cache]
         if missing:
             rows = (
@@ -116,7 +113,49 @@ class QueryEngine:
             )
             for r in rows:
                 self._bucket_cache[r["term"]] = r["bucket"]
-        buckets = sorted({self._bucket_cache[t] for t in terms})
+        return sorted({self._bucket_cache[t] for t in terms})
+
+    def _arrow_dataset(self):
+        """pyarrow dataset over the postings snapshots (hive bucket dirs) —
+        the low-latency search-head path: term lookups become local parquet
+        reads with dictionary/bucket filters, no Spark job on the hot path.
+        Returns None for non-local storage (falls back to the Spark scan)."""
+        if getattr(self, "_ads", "unset") != "unset":
+            return self._ads
+        try:
+            import pyarrow.dataset as pads
+
+            loc = self.store.table_path("postings")
+            paths = loc if isinstance(loc, list) else [loc]
+            parts = [
+                pads.dataset(p, format="parquet", partitioning="hive")
+                for p in paths
+            ]
+            self._ads = parts[0] if len(parts) == 1 else pads.dataset(parts)
+        except Exception:
+            self._ads = None
+        return self._ads
+
+    def _fetch_posting_rows(self, terms: list[str]) -> list[dict]:
+        """Rows for the query terms via pyarrow (local) or Spark scan."""
+        buckets = self._buckets_for(terms)
+        dset = self._arrow_dataset()
+        if dset is not None:
+            import pyarrow.dataset as pads
+
+            flt = pads.field("bucket").isin(buckets) & pads.field("term").isin(
+                terms
+            )
+            tbl = dset.to_table(filter=flt)
+            return tbl.to_pylist()
+        rows = self._postings_scan(terms).collect()
+        return [r.asDict() for r in rows]
+
+    def _postings_scan(self, terms: list[str]) -> DataFrame:
+        """Pruned scan: partition pruning on bucket + predicate pushdown on
+        term. Reads only the query terms' rows from the index."""
+        pf = self.store.read_table(self.spark, "postings")
+        buckets = self._buckets_for(terms)
         return pf.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
@@ -125,7 +164,7 @@ class QueryEngine:
         """Fetch + decode + salt-merge postings for the query terms.
         Salted sub-lists cover disjoint docs; merge = concat + stable sort."""
         uniq = sorted(set(terms))
-        rows = self._postings_scan(uniq).collect()
+        rows = self._fetch_posting_rows(uniq)
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
