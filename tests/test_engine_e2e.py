@@ -10,6 +10,7 @@ reference's exercise-at-scale-paths-at-toy-scale pattern
 from __future__ import annotations
 
 import json
+import pathlib
 
 import numpy as np
 import pytest
@@ -26,20 +27,8 @@ N_DOCS = 300
 
 # the frozen reference query set (FIXTURES.md §2): hot, medium, rare,
 # absent terms; and/or; k edge cases
-QUERY_SET = [
-    {"qid": 1, "terms": ["import", "return"], "mode": "or", "k": 10},
-    {"qid": 2, "terms": ["import", "return"], "mode": "and", "k": 10},
-    {"qid": 3, "terms": ["def", "class", "self"], "mode": "or", "k": 10},
-    {"qid": 4, "terms": ["def", "class", "self"], "mode": "and", "k": 10},
-    {"qid": 5, "terms": ["import", "sym0100", "uniq42"], "mode": "or", "k": 10},
-    {"qid": 6, "terms": ["uniq7"], "mode": "or", "k": 10},
-    {"qid": 7, "terms": ["uniq7"], "mode": "and", "k": 10},
-    {"qid": 8, "terms": ["qqqabsent"], "mode": "or", "k": 10},
-    {"qid": 9, "terms": ["import", "qqqabsent"], "mode": "and", "k": 10},
-    {"qid": 10, "terms": ["import"], "mode": "or", "k": 1},
-    {"qid": 11, "terms": ["sym0001", "sym0002"], "mode": "or", "k": 10_000},
-    {"qid": 12, "terms": ["while", "for", "if", "else"], "mode": "or", "k": 25},
-]
+with open(pathlib.Path(__file__).with_name("queries.json")) as _f:
+    QUERY_SET = json.load(_f)
 
 
 @pytest.fixture(scope="module")
