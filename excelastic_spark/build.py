@@ -59,6 +59,10 @@ from excelastic_spark.config import EngineConfig
 from excelastic_spark.corpus import ParserException, ingest_corpus
 from excelastic_spark.tokenizer import tokenize_triples
 
+# bumped whenever a table layout/semantic changes: stale warehouses then
+# fingerprint-mismatch and rebuild instead of resuming onto the old layout
+LAYOUT_VERSION = 2
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
@@ -116,7 +120,10 @@ def validate_and_fingerprint(corpus: DataFrame, pre_ingested: bool) -> tuple[str
         raise ParserException(
             f"duplicate (repo,path,commit) keys: {agg['n'] - agg['distinct_keys']}"
         )
-    return f"n={agg['n']},crc={agg['crc']}", int(agg["n"])
+    return (
+        f"v={LAYOUT_VERSION},n={agg['n']},crc={agg['crc']}",
+        int(agg["n"]),
+    )
 
 
 def corpus_fingerprint(corpus: DataFrame) -> str:
