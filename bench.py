@@ -55,6 +55,10 @@ def main() -> None:
         salt_threshold=2000,
         salt_target=1000,
         shuffle_partitions=int(CPUS),
+        # size scan partitions to the bench SF so tasks ~ cores (the 128MB
+        # default collapses a ~100MB corpus scan into ~3 tasks)
+        files_max_partition_bytes=2 * 1024 * 1024,
+        advisory_partition_bytes=4 * 1024 * 1024,
     )
     spark = get_spark(app_name="excelastic-bench", master=f"local[{CPUS}]", config=cfg)
     spark.sparkContext.setLogLevel("ERROR")

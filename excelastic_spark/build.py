@@ -149,22 +149,22 @@ def _encode_partition(cfg: EngineConfig, avgdl: float):
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         n = len(pdf)
-        # group-cluster sort WITHOUT comparing strings: factorize terms to
-        # int codes (hash pass), lexsort on (doc_id, salt, code). Inter-term
-        # order is irrelevant — only same-(term,salt) adjacency + doc_id
-        # order within a group matter — and this is ~5x faster than a
-        # string sort on multi-million-row partitions.
-        codes, _ = pd.factorize(pdf["term"], sort=False)
+        # group-cluster sort WITHOUT touching strings: factorize terms to
+        # int codes (one hash pass), lexsort on (doc_id, salt, code), then
+        # fancy-index ONLY the numeric columns — the string column is never
+        # reordered or copied (group-head terms come from the factorize
+        # uniques). Inter-term order is irrelevant: only same-(term,salt)
+        # adjacency + doc_id order within a group matter.
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
         order = np.lexsort(
             (pdf["doc_id"].to_numpy(), pdf["salt"].to_numpy(), codes)
         )
-        pdf = pdf.take(order)
         codes = codes[order]
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy()
-        ids = pdf["doc_id"].to_numpy().astype(np.uint64)
-        tfs = pdf["tf"].to_numpy().astype(np.uint64)
-        dls = pdf["doclen"].to_numpy().astype(np.uint64)
+        salts = pdf["salt"].to_numpy()[order]
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+        dls = pdf["doclen"].to_numpy()[order].astype(np.uint64)
+        uniques = np.asarray(uniques, dtype=object)
 
         new_group = np.empty(n, dtype=bool)
         new_group[0] = True
@@ -210,7 +210,7 @@ def _encode_partition(cfg: EngineConfig, avgdl: float):
         s0, s1 = gstarts, gends
         yield pd.DataFrame(
             {
-                "term": terms[gstarts],
+                "term": uniques[codes[gstarts]],
                 "salt": salts[gstarts].astype("int32"),
                 "n": glens.astype("int64"),
                 "doc_ids": [

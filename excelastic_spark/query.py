@@ -51,13 +51,29 @@ from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
 from excelastic_spark.wand import TermPostings, WandStats, exhaustive_or, wand_topk
 
-# cost model for the disjunctive path: exhaustive scoring is one vectorized
+# Cost model for the disjunctive path. Exhaustive scoring is one vectorized
 # numpy pass over all postings (~1e8 postings/sec); WAND's pivot loop is
-# ~1e5 pivots/sec but skips most postings on selective queries. Below this
-# size the vectorized pass always wins; above it WAND wins unless k is a
-# large fraction of the candidate set (nothing to prune).
-WAND_MIN_POSTINGS = 200_000
-WAND_MAX_K_FRACTION = 0.1
+# ~1e5 pivots/sec in Python but can skip almost everything when a rare
+# high-weight term dominates (theta rises past the weak lists' bounds after
+# k hits, so pivoting jumps the long lists via searchsorted). WAND therefore
+# pays off ONLY on big + heterogeneous queries: a dominant term whose list
+# is small relative to the union. Homogeneous hot-term queries (every list
+# long, similar weights — no pruning possible) must stay vectorized: on a
+# 600k-doc corpus the pivot loop was ~100x slower than the numpy pass.
+WAND_MIN_POSTINGS = 2_000_000
+WAND_DOMINANT_FRACTION = 0.05
+
+
+def _wand_promising(present: list[TermPostings], k: int, total: int) -> bool:
+    if total < WAND_MIN_POSTINGS or len(present) < 2:
+        return False
+    by_ub = sorted(present, key=lambda p: -p.max_ub)
+    rest_ub = sum(p.max_ub for p in by_ub[1:])
+    return (
+        by_ub[0].max_ub > rest_ub
+        and by_ub[0].n <= WAND_DOMINANT_FRACTION * total
+        and k <= by_ub[0].n
+    )
 
 RESULT_SCHEMA = StructType(
     [
@@ -232,9 +248,7 @@ class QueryEngine:
             present = [postings[t] for t in uniq if t in postings]
             total = sum(p.n for p in present)
             use_wand = algo == "wand" or (
-                algo == "auto"
-                and total >= WAND_MIN_POSTINGS
-                and k <= WAND_MAX_K_FRACTION * total
+                algo == "auto" and _wand_promising(present, k, total)
             )
             if use_wand:
                 ids, scores, wstats = wand_topk(present, k)
