@@ -206,6 +206,14 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_rolling_fp(spark, sf_dir):
+    from excelastic_spark.functions.text import rolling_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from excelastic_spark.functions.dedup import exact_duplicate_groups
 
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
+        "doc_rolling_fp": _q_rolling_fp,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash,  # rows-only (xxhash64 not in DuckDB)
@@ -436,6 +445,18 @@ FROM feats
         "doc_fingerprint": f"""
 {tok_cte}
 SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
+""",
+        "doc_rolling_fp": f"""
+{tok_cte},
+norm AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks)
+SELECT doc_id,
+  CASE WHEN len(s) = 0 THEN 0
+       ELSE list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(s, ''), x -> ascii(x)::BIGINT)),
+         (acc, c) -> xor((((acc & 72057594037927935) << 5) | (acc >> 56)), c))
+  END AS rolling_fp
+FROM norm
 """,
         "dedup_exact": """
 SELECT sha256(text) AS content_sha, count(*) AS n_dups, min(doc_id) AS keeper_id

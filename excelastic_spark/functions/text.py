@@ -107,3 +107,26 @@ def doc_fingerprint(text: Column) -> Column:
     stream (lowercase, single-space-joined). Whitespace/punctuation
     variations of the same token stream collide -> near-dup canonicalizer."""
     return F.md5(F.array_join(tokens_col(text), " "))
+
+
+_M56 = 0xFFFFFFFFFFFFFF  # keep the accumulator in 61 bits: rotate-left-5
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """61-bit rolling hash (rotate-xor fold over the normalized token
+    stream's character codes) — an order-sensitive content fingerprint
+    computable identically in ANSI SQL (the DuckDB oracle uses the same
+    rotate/mask/xor fold, bit-for-bit). All values stay positive so
+    logical vs arithmetic right-shift differences between engines never
+    appear."""
+    norm = F.array_join(tokens_col(text), " ")
+    nums = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    fold = F.aggregate(
+        nums,
+        F.lit(0).cast("long"),
+        lambda acc, c: (
+            F.shiftleft(acc.bitwiseAND(F.lit(_M56)), 5)
+            .bitwiseOR(F.shiftrightunsigned(acc, 56))
+        ).bitwiseXOR(c),
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(fold)
