@@ -325,9 +325,10 @@ class IndexBuilder:
 
         triples = store.read_table(spark, "triples")
 
-        # ---- stage: docs (skinny metadata + doclen; content stays in the
-        # ingested snapshot only — no duplicate storage of the corpus) ----
-        if not (store.stage_done("docs", fp) and store.has_table("docs")):
+        # ---- stages: docs + terms (both depend only on triples; their
+        # write jobs run CONCURRENTLY — Spark schedules independent jobs
+        # from separate driver threads) ----
+        def _docs_stage() -> None:
             t0 = time.time()
             doclens = triples.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
             docs_out = ingested.join(doclens, "doc_id", "left").select(
@@ -346,10 +347,8 @@ class IndexBuilder:
                 "docs", n_docs=counts["n_docs"], sec=round(dt, 3),
                 docs_per_sec=round(counts["n_docs"] / max(dt, 1e-9), 1),
             )
-            store.commit_stage("docs", fp, n_docs=counts["n_docs"])
 
-        # ---- stage: terms (df/cf + salting plan) ----
-        if not (store.stage_done("terms", fp) and store.has_table("terms")):
+        def _terms_stage() -> None:
             t0 = time.time()
             ts = (
                 triples.groupBy("term")
@@ -372,7 +371,27 @@ class IndexBuilder:
                 "terms", n_terms=counts["n_terms"], sec=round(dt, 3),
                 terms_per_sec=round(counts["n_terms"] / max(dt, 1e-9), 1),
             )
-            store.commit_stage("terms", fp, n_terms=counts["n_terms"])
+
+        pending = []
+        if not (store.stage_done("docs", fp) and store.has_table("docs")):
+            pending.append(("docs", _docs_stage))
+        if not (store.stage_done("terms", fp) and store.has_table("terms")):
+            pending.append(("terms", _terms_stage))
+        if len(pending) == 2:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                futs = [(name, pool.submit(fn)) for name, fn in pending]
+                for _, fut in futs:
+                    fut.result()
+        else:
+            for _, fn in pending:
+                fn()
+        # commit lineage only after BOTH succeeded (a failure above leaves
+        # neither stage marked done; snapshot manifest writes are atomic)
+        for name, _ in pending:
+            key = "n_docs" if name == "docs" else "n_terms"
+            store.commit_stage(name, fp, **{key: counts[key]})
 
         terms = store.read_table(spark, "terms")
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from typing import Any
@@ -40,6 +41,9 @@ class IndexStore:
         os.makedirs(self.root, exist_ok=True)
         self.manifest_path = os.path.join(self.root, "manifest.json")
         self.metrics_path = os.path.join(self.root, "metrics.jsonl")
+        # serializes manifest read-modify-write across concurrent stage
+        # threads (the docs/terms stages commit in parallel)
+        self._mlock = threading.Lock()
 
     # ------------------------------------------------------------ manifest
 
@@ -83,17 +87,18 @@ class IndexStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        m = self.manifest()
-        if mode == "append" and table in m["tables"]:
-            existing = m["tables"][table]
-            paths = existing if isinstance(existing, list) else [existing]
-            m["tables"][table] = paths + [path]
-        else:
-            m["tables"][table] = path
-        m["snapshots"].append(
-            {"table": table, "path": path, "ts": time.time(), "mode": mode}
-        )
-        self._commit_manifest(m)
+        with self._mlock:
+            m = self.manifest()
+            if mode == "append" and table in m["tables"]:
+                existing = m["tables"][table]
+                paths = existing if isinstance(existing, list) else [existing]
+                m["tables"][table] = paths + [path]
+            else:
+                m["tables"][table] = path
+            m["snapshots"].append(
+                {"table": table, "path": path, "ts": time.time(), "mode": mode}
+            )
+            self._commit_manifest(m)
         return path
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
@@ -124,13 +129,14 @@ class IndexStore:
     def commit_stage(
         self, stage: str, fingerprint: str, **extra: Any
     ) -> None:
-        m = self.manifest()
-        m["stages"][stage] = {
-            "fingerprint": fingerprint,
-            "ts": time.time(),
-            **extra,
-        }
-        self._commit_manifest(m)
+        with self._mlock:
+            m = self.manifest()
+            m["stages"][stage] = {
+                "fingerprint": fingerprint,
+                "ts": time.time(),
+                **extra,
+            }
+            self._commit_manifest(m)
 
     # -------------------------------------------------------------- metrics
 
