@@ -280,6 +280,7 @@ class IndexBuilder:
             corpus = transform(corpus)
         # ---- stage: validate + fingerprint (one scan, fail-fast) ----
         fp, n_input = validate_and_fingerprint(corpus, pre_ingested)
+        store.save_config(cfg.layout_dict())  # append/merge/query default to it
         metrics: dict[str, Any] = {"fingerprint": fp}
         counts: dict[str, int] = {}
 

@@ -120,6 +120,20 @@ class IndexStore:
         shutil.rmtree(self.root, ignore_errors=True)
         os.makedirs(self.root, exist_ok=True)
 
+    # -------------------------------------------------------------- config
+
+    def save_config(self, cfg_dict: dict[str, Any]) -> None:
+        """Persist the engine config used at build time so append/merge/
+        query sessions default to the INDEX's layout parameters (salt
+        thresholds, block size, bucket count) instead of process defaults."""
+        with self._mlock:
+            m = self.manifest()
+            m["config"] = cfg_dict
+            self._commit_manifest(m)
+
+    def load_config(self) -> dict[str, Any] | None:
+        return self.manifest().get("config")
+
     # --------------------------------------------------- lineage / resume
 
     def stage_done(self, stage: str, fingerprint: str) -> bool:

@@ -56,6 +56,26 @@ class EngineConfig:
     def with_overrides(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
 
+    # layout-relevant fields persisted with the index (catalog.save_config)
+    _LAYOUT_FIELDS = (
+        "k1", "b", "n_buckets", "block_size", "salt_threshold", "salt_target",
+    )
+
+    def layout_dict(self) -> dict:
+        return {f: getattr(self, f) for f in self._LAYOUT_FIELDS}
+
+    @classmethod
+    def from_store(cls, store, base: "EngineConfig | None" = None) -> "EngineConfig":
+        """Config for an EXISTING index: process defaults (or ``base``)
+        overridden by the layout parameters saved at build time."""
+        cfg = base or cls()
+        saved = store.load_config()
+        if saved:
+            cfg = cfg.with_overrides(
+                **{k: v for k, v in saved.items() if k in cls._LAYOUT_FIELDS}
+            )
+        return cfg
+
     def tiny(self) -> "EngineConfig":
         """Shrunk thresholds: force the at-scale code paths at toy scale
         (salting, multi-block WAND, multi-bucket pruning) — the reference's

@@ -106,7 +106,9 @@ class QueryEngine:
     ):
         self.spark = spark
         self.store = store
-        self.cfg = cfg or EngineConfig()
+        # layout params (buckets, block size, salting) come from the config
+        # persisted at build time; caller cfg supplies execution knobs
+        self.cfg = EngineConfig.from_store(store, cfg)
         st = store.read_table(spark, "stats").collect()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])

@@ -48,7 +48,8 @@ class IncrementalIndexer:
     ):
         self.spark = spark
         self.store = store
-        self.cfg = cfg or EngineConfig()
+        # inherit the index's persisted layout params (see catalog.save_config)
+        self.cfg = EngineConfig.from_store(store, cfg)
 
     # ------------------------------------------------------------- append
 
