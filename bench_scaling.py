@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -67,8 +68,17 @@ spark.stop()
 
 
 def run(cpus: int, n_docs: int) -> dict:
+    # Pin the whole process tree (JVM + Python workers) to exactly `cpus`
+    # hardware cores. Without pinning, local[N] understates scaling
+    # efficiency dishonestly in N's favor: the N-level JVM's GC, shuffle,
+    # netty and parquet-writer threads spill onto the host's idle cores,
+    # inflating the small level's throughput — a real N-executor cluster
+    # has N cores TOTAL per executor for task + GC + IO work alike.
+    cmd = [sys.executable, "-c", WORKER, str(cpus), str(n_docs)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_docs)],
+        cmd,
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3000,
     )
@@ -97,9 +107,12 @@ def main() -> None:
             "Same deterministic synthetic corpus (Zipf-skewed code-like "
             "text), corpus pre-materialized to parquet, fresh JVM per level, "
             f"min of {reps} reps per level (the sandbox host shows ~2x "
-            "run-to-run noise; warehouse on tmpfs). Evidences the north "
-            "rule's N->4N executor criterion at local[N] vs local[4N] per "
-            "BASELINE.md.\n\n"
+            "run-to-run noise; warehouse on tmpfs). Each level is pinned "
+            "with `taskset` to exactly its core count, so the N-level JVM "
+            "cannot spill GC/shuffle/IO threads onto idle host cores (a "
+            "real N-executor cluster has N cores total). Evidences the "
+            "north rule's N->4N executor criterion at local[N] vs "
+            "local[4N] per BASELINE.md.\n\n"
             f"| parallelism | docs | build sec | docs/sec | query mean sec |\n"
             f"|---|---|---|---|---|\n"
             f"| local[{n}] (N) | {rn['n_docs']} | {rn['build_sec']} | {rn['docs_per_sec']} | {rn['query_mean_sec']} |\n"

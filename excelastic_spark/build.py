@@ -56,7 +56,11 @@ from pyspark.sql.types import (
 from excelastic_spark import codec
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
-from excelastic_spark.corpus import ParserException, ingest_corpus
+from excelastic_spark.corpus import (
+    ParserException,
+    id_bucket_expr,
+    ingest_corpus,
+)
 from excelastic_spark.tokenizer import tokenize_triples
 
 # bumped whenever a table layout/semantic changes: stale warehouses then
@@ -95,35 +99,51 @@ def bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast(IntegerType())
 
 
-def validate_and_fingerprint(corpus: DataFrame, pre_ingested: bool) -> tuple[str, int]:
-    """ONE aggregation pass: fail-fast validation (null keys/content,
-    duplicate keys — the initialize() dry-run analog) fused with the cheap
-    order-independent lineage fingerprint (count + crc sum)."""
+def validate_and_fingerprint(
+    corpus: DataFrame, pre_ingested: bool
+) -> tuple[str, int, dict[int, int]]:
+    """ONE aggregation pass, grouped by the doc-id bucket: fail-fast
+    validation (null keys/content, duplicate keys — the initialize() dry-run
+    analog) fused with the order-independent lineage fingerprint (count +
+    crc sum) AND the per-bucket counts that doc-id assignment needs — so
+    ingest never re-scans the corpus just to count buckets.
+
+    Grouping by the id bucket keeps every aggregate exact: the bucket is a
+    function of the (repo, path, commit) key, so per-bucket distinct-key
+    counts sum to the global distinct count."""
     key_cols = ("repo", "path", "commit")
-    agg = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(
-                F.col("content").isNull()
-                | F.col("repo").isNull()
-                | F.col("path").isNull()
-                | F.col("commit").isNull(),
-                1,
-            ).otherwise(0)
-        ).alias("bad"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("distinct_keys"),
-        F.sum(F.crc32(F.col("content"))).alias("crc"),
-    ).collect()[0]
-    if (agg["bad"] or 0) > 0:
-        raise ParserException(f"{agg['bad']} rows with null key/content")
-    if not pre_ingested and agg["distinct_keys"] != agg["n"]:
-        raise ParserException(
-            f"duplicate (repo,path,commit) keys: {agg['n'] - agg['distinct_keys']}"
+    rows = (
+        corpus.groupBy(id_bucket_expr().alias("_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("content").isNull()
+                    | F.col("repo").isNull()
+                    | F.col("path").isNull()
+                    | F.col("commit").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("bad"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias(
+                "distinct_keys"
+            ),
+            F.sum(F.crc32(F.col("content"))).alias("crc"),
         )
-    return (
-        f"v={LAYOUT_VERSION},n={agg['n']},crc={agg['crc']}",
-        int(agg["n"]),
+        .collect()
     )
+    n = sum(r["n"] for r in rows)
+    bad = sum(r["bad"] or 0 for r in rows)
+    distinct_keys = sum(r["distinct_keys"] for r in rows)
+    crc = sum(r["crc"] or 0 for r in rows)
+    bucket_counts = {r["_bucket"]: r["n"] for r in rows}
+    if bad > 0:
+        raise ParserException(f"{bad} rows with null key/content")
+    if not pre_ingested and distinct_keys != n:
+        raise ParserException(
+            f"duplicate (repo,path,commit) keys: {n - distinct_keys}"
+        )
+    return (f"v={LAYOUT_VERSION},n={n},crc={crc}", int(n), bucket_counts)
 
 
 def corpus_fingerprint(corpus: DataFrame) -> str:
@@ -279,7 +299,9 @@ class IndexBuilder:
         if transform is not None:
             corpus = transform(corpus)
         # ---- stage: validate + fingerprint (one scan, fail-fast) ----
-        fp, n_input = validate_and_fingerprint(corpus, pre_ingested)
+        fp, n_input, bucket_counts = validate_and_fingerprint(
+            corpus, pre_ingested
+        )
         store.save_config(cfg.layout_dict())  # append/merge/query default to it
         metrics: dict[str, Any] = {"fingerprint": fp}
         counts: dict[str, int] = {}
@@ -288,7 +310,7 @@ class IndexBuilder:
         if not (store.stage_done("ingest", fp) and store.has_table("ingested")):
             t0 = time.time()
             ingested = corpus if pre_ingested else ingest_corpus(
-                corpus, validate=False
+                corpus, validate=False, bucket_counts=bucket_counts
             )
             got = self._write_observed(
                 ingested, "ingested", {"n": F.count(F.lit(1))}
@@ -326,9 +348,7 @@ class IndexBuilder:
 
         triples = store.read_table(spark, "triples")
 
-        # ---- stages: docs + terms (both depend only on triples; their
-        # write jobs run CONCURRENTLY — Spark schedules independent jobs
-        # from separate driver threads) ----
+        # ---- stage: docs (depends only on triples + ingested) ----
         def _docs_stage() -> None:
             t0 = time.time()
             doclens = triples.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
@@ -348,6 +368,48 @@ class IndexBuilder:
                 "docs", n_docs=counts["n_docs"], sec=round(dt, 3),
                 docs_per_sec=round(counts["n_docs"] / max(dt, 1e-9), 1),
             )
+
+        # The docs table is pure query-side metadata: nothing in the
+        # terms -> stats -> postings chain reads it, so its write job runs
+        # on a separate driver thread CONCURRENTLY with that whole chain
+        # (Spark schedules jobs from independent threads into idle task
+        # slots). Each stage commits its own lineage entry on success —
+        # manifest writes are atomic and serialized under the store lock,
+        # and a failed stage simply stays uncommitted for the next resume.
+        docs_pool = None
+        docs_future = None
+        if not (store.stage_done("docs", fp) and store.has_table("docs")):
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _docs_and_commit() -> None:
+                _docs_stage()
+                store.commit_stage("docs", fp, n_docs=counts["n_docs"])
+
+            docs_pool = ThreadPoolExecutor(1)
+            docs_future = docs_pool.submit(_docs_and_commit)
+        try:
+            self._build_chain(fp, triples, counts, metrics)
+        finally:
+            # always join the docs thread; if the chain succeeded, a docs
+            # failure propagates from .result() here
+            if docs_future is not None:
+                try:
+                    docs_future.result()
+                finally:
+                    docs_pool.shutdown(wait=False)
+
+        return metrics
+
+    def _build_chain(
+        self,
+        fp: str,
+        triples: DataFrame,
+        counts: dict[str, int],
+        metrics: dict[str, Any],
+    ) -> None:
+        """terms -> stats -> postings (runs concurrently with the docs
+        stage; must not read the docs table)."""
+        cfg, store, spark = self.cfg, self.store, self.spark
 
         def _terms_stage() -> None:
             t0 = time.time()
@@ -373,35 +435,20 @@ class IndexBuilder:
                 terms_per_sec=round(counts["n_terms"] / max(dt, 1e-9), 1),
             )
 
-        pending = []
-        if not (store.stage_done("docs", fp) and store.has_table("docs")):
-            pending.append(("docs", _docs_stage))
         if not (store.stage_done("terms", fp) and store.has_table("terms")):
-            pending.append(("terms", _terms_stage))
-        if len(pending) == 2:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(2) as pool:
-                futs = [(name, pool.submit(fn)) for name, fn in pending]
-                for _, fut in futs:
-                    fut.result()
-        else:
-            for _, fn in pending:
-                fn()
-        # commit lineage only after BOTH succeeded (a failure above leaves
-        # neither stage marked done; snapshot manifest writes are atomic)
-        for name, _ in pending:
-            key = "n_docs" if name == "docs" else "n_terms"
-            store.commit_stage(name, fp, **{key: counts[key]})
+            _terms_stage()
+            store.commit_stage("terms", fp, n_terms=counts["n_terms"])
 
         terms = store.read_table(spark, "terms")
 
         # ---- stage: stats (assembled from observations; falls back to
-        # cheap metadata counts when resuming past a stage) ----
+        # cheap metadata counts when resuming past a stage; must NOT read
+        # the docs table — it may still be building on the other thread) ----
         if not (store.stage_done("stats", fp) and store.has_table("stats")):
             st = store.manifest()["stages"]
-            n_docs = counts.get("n_docs") or st.get("docs", {}).get("n_docs") \
-                or self._table_count("docs")
+            n_docs = counts.get("n_docs") or st.get("ingest", {}).get("n_docs") \
+                or st.get("docs", {}).get("n_docs") \
+                or self._table_count("ingested")
             total_tf = counts.get("total_tf")
             if total_tf is None:
                 total_tf = st.get("triples", {}).get("total_tf")
@@ -480,5 +527,3 @@ class IndexBuilder:
                 ),
             )
             store.commit_stage("postings", fp, rows=int(got["rows"]))
-
-        return metrics

@@ -151,14 +151,29 @@ def validate_corpus(corpus: DataFrame) -> int:
     return agg["n"]
 
 
-def assign_doc_ids(corpus: DataFrame, partitions: int = 64) -> DataFrame:
+ID_BUCKETS = 64
+
+
+def id_bucket_expr(partitions: int = ID_BUCKETS):
+    """DATA-derived id bucket: identical on any cluster size, any
+    partitioning, AQE on or off (a partition-id-based scheme would not be:
+    AQE may coalesce passes differently)."""
+    return F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(partitions)).cast(
+        "int"
+    )
+
+
+def assign_doc_ids(
+    corpus: DataFrame,
+    partitions: int = ID_BUCKETS,
+    bucket_counts: dict[int, int] | None = None,
+) -> DataFrame:
     """Dense deterministic int64 doc_id, computed scalably in two passes:
 
-    1. bucket = pmod(xxhash64(repo, path, commit), B) — DATA-derived, so it
-       is identical on any cluster size, any partitioning, AQE on or off
-       (a partition-id-based scheme would not be: AQE may coalesce the two
-       passes differently);
-    2. per-bucket counts (B tiny rows to the driver) -> cumulative offsets;
+    1. bucket = pmod(xxhash64(repo, path, commit), B) (id_bucket_expr);
+    2. per-bucket counts (B tiny rows to the driver) -> cumulative offsets —
+       callers that already ran a full-scan aggregation (the validation
+       dry-run) pass the counts in so this costs no extra scan;
     3. doc_id = offset[bucket] + row_number() within bucket ordered by key.
 
     Dense 0..n-1, globally ordered by (bucket, repo, path, commit). No
@@ -166,16 +181,15 @@ def assign_doc_ids(corpus: DataFrame, partitions: int = 64) -> DataFrame:
     shuffles are one hash aggregate and one window shuffle on the uniform
     bucket key.
     """
-    bucket = F.pmod(
-        F.xxhash64("repo", "path", "commit"), F.lit(partitions)
-    ).cast("int")
-    with_b = corpus.withColumn("_bucket", bucket)
-    counts = with_b.groupBy("_bucket").count().collect()
+    with_b = corpus.withColumn("_bucket", id_bucket_expr(partitions))
+    if bucket_counts is None:
+        rows = with_b.groupBy("_bucket").count().collect()
+        bucket_counts = {row["_bucket"]: row["count"] for row in rows}
     offsets: dict[int, int] = {}
     acc = 0
-    for row in sorted(counts, key=lambda r: r["_bucket"]):
-        offsets[row["_bucket"]] = acc
-        acc += row["count"]
+    for b in sorted(bucket_counts):
+        offsets[b] = acc
+        acc += bucket_counts[b]
     offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_bucket").orderBy("repo", "path", "commit")
     return with_b.withColumn(
@@ -185,16 +199,22 @@ def assign_doc_ids(corpus: DataFrame, partitions: int = 64) -> DataFrame:
 
 
 def ingest_corpus(
-    corpus: DataFrame, id_partitions: int = 64, validate: bool = True
+    corpus: DataFrame,
+    id_partitions: int = ID_BUCKETS,
+    validate: bool = True,
+    bucket_counts: dict[int, int] | None = None,
 ) -> DataFrame:
     """Validate + assign doc_id + stamp sha256(content) (the per-row
     invariant from BASELINE.json:input_hint). Returns docs DataFrame
     (doc_id, repo, path, commit, lang, content, sha256). ``validate=False``
     when the caller already ran the fused validate+fingerprint pass
-    (build.validate_and_fingerprint)."""
+    (build.validate_and_fingerprint), which also supplies ``bucket_counts``
+    so id assignment re-uses that scan's per-bucket counts."""
     if validate:
         validate_corpus(corpus)
-    with_ids = assign_doc_ids(corpus, partitions=id_partitions)
+    with_ids = assign_doc_ids(
+        corpus, partitions=id_partitions, bucket_counts=bucket_counts
+    )
     return with_ids.withColumn("sha256", F.sha2(F.col("content"), 256))
 
 
