@@ -424,6 +424,9 @@ class IndexBuilder:
                     ).otherwise(F.lit(1)),
                 )
                 .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
+                # align tasks with partition dirs: each write task emits ONE
+                # bucket file instead of spraying tasks x buckets tiny files
+                .repartition(cfg.n_buckets, "bucket")
             )
             got = self._write_observed(
                 ts, "terms", {"n": F.count(F.lit(1))}, partition_by=["bucket"]
@@ -444,6 +447,7 @@ class IndexBuilder:
         # ---- stage: stats (assembled from observations; falls back to
         # cheap metadata counts when resuming past a stage; must NOT read
         # the docs table — it may still be building on the other thread) ----
+        avgdl = None
         if not (store.stage_done("stats", fp) and store.has_table("stats")):
             st = store.manifest()["stages"]
             n_docs = counts.get("n_docs") or st.get("ingest", {}).get("n_docs") \
@@ -469,8 +473,8 @@ class IndexBuilder:
             )
             store.commit_stage("stats", fp)
 
-        stats = store.read_table(spark, "stats").collect()[0]
-        avgdl = stats["avgdl"]
+        if avgdl is None:  # resuming past stats: read it back
+            avgdl = store.read_table(spark, "stats").collect()[0]["avgdl"]
 
         # ---- stage: postings ----
         if not (store.stage_done("postings", fp) and store.has_table("postings")):

@@ -23,6 +23,7 @@ Swapping in real Iceberg is a config change: replace ``write_table`` /
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -31,6 +32,11 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX fallback: thread lock only
+    fcntl = None
 
 
 class IndexStore:
@@ -42,8 +48,27 @@ class IndexStore:
         self.manifest_path = os.path.join(self.root, "manifest.json")
         self.metrics_path = os.path.join(self.root, "metrics.jsonl")
         # serializes manifest read-modify-write across concurrent stage
-        # threads (the docs/terms stages commit in parallel)
+        # threads (the docs/terms stages commit in parallel); the file lock
+        # below extends this across PROCESSES (concurrent shard writers —
+        # the optimistic-commit role Iceberg's metastore plays)
         self._mlock = threading.Lock()
+        self._lock_path = os.path.join(self.root, ".manifest.lock")
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """thread lock + advisory file lock: manifest read-modify-write is
+        atomic across threads AND across independent writer processes
+        (parallel shard builds append segments to one index)."""
+        with self._mlock:
+            if fcntl is None:
+                yield
+                return
+            with open(self._lock_path, "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
 
     # ------------------------------------------------------------ manifest
 
@@ -87,7 +112,7 @@ class IndexStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        with self._mlock:
+        with self._commit_lock():
             m = self.manifest()
             if mode == "append" and table in m["tables"]:
                 existing = m["tables"][table]
@@ -126,7 +151,7 @@ class IndexStore:
         """Persist the engine config used at build time so append/merge/
         query sessions default to the INDEX's layout parameters (salt
         thresholds, block size, bucket count) instead of process defaults."""
-        with self._mlock:
+        with self._commit_lock():
             m = self.manifest()
             m["config"] = cfg_dict
             self._commit_manifest(m)
@@ -143,7 +168,7 @@ class IndexStore:
     def commit_stage(
         self, stage: str, fingerprint: str, **extra: Any
     ) -> None:
-        with self._mlock:
+        with self._commit_lock():
             m = self.manifest()
             m["stages"][stage] = {
                 "fingerprint": fingerprint,

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # only used by multi-executor masters (local-cluster / standalone /
+        # YARN); plain local[N] executes in the driver JVM
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"),
+        )
     )
     if cfg.files_max_partition_bytes:
         builder = builder.config(

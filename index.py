@@ -43,6 +43,29 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("append", help="append an increment to the index")
     a.add_argument("--corpus", required=True)
 
+    sp = sub.add_parser(
+        "shard-plan",
+        help="plan a shard-parallel build (validate + doc_id offsets)",
+    )
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--shards", type=int, required=True)
+    sp.add_argument("--salt-threshold", type=int, default=None)
+    sp.add_argument("--block-size", type=int, default=None)
+    sp.add_argument("--buckets", type=int, default=None)
+
+    sb = sub.add_parser(
+        "shard-build",
+        help="build ONE shard's segments (run one process per shard, "
+        "concurrently — e.g. one spark-submit per executor group)",
+    )
+    sb.add_argument("--corpus", required=True)
+    sb.add_argument("--shard", type=int, required=True)
+
+    sub.add_parser(
+        "shard-finalize",
+        help="reconcile global terms/stats after all shards are built",
+    )
+
     sub.add_parser("merge", help="compact postings segments")
     sub.add_parser("stats", help="print collection stats + stage metrics")
 
@@ -53,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     from excelastic_spark.session import get_spark
 
     cfg = EngineConfig(warehouse=args.warehouse)
-    if args.cmd == "build":
+    if args.cmd in ("build", "shard-plan"):
         over = {}
         if args.salt_threshold:
             over["salt_threshold"] = args.salt_threshold
@@ -90,6 +113,25 @@ def main(argv: list[str] | None = None) -> int:
 
         inc = IncrementalIndexer(spark, store, cfg)
         print(json.dumps(inc.append_increment(spark.read.parquet(args.corpus)), default=str))
+    elif args.cmd == "shard-plan":
+        from excelastic_spark import sharded
+
+        plan = sharded.plan_shards(
+            spark.read.parquet(args.corpus), args.shards, store, cfg
+        )
+        print(json.dumps({k: plan[k] for k in
+                          ("fingerprint", "n_docs", "n_shards")}))
+    elif args.cmd == "shard-build":
+        from excelastic_spark import sharded
+
+        rec = sharded.build_shard(
+            spark, store, spark.read.parquet(args.corpus), args.shard, cfg
+        )
+        print(json.dumps(rec, default=str))
+    elif args.cmd == "shard-finalize":
+        from excelastic_spark import sharded
+
+        print(json.dumps(sharded.finalize(spark, store, cfg), default=str))
     elif args.cmd == "merge":
         from excelastic_spark.streaming.incremental import IncrementalIndexer
 

@@ -1,0 +1,98 @@
+"""Shard-parallel build (sharded.py): equivalence with the single-pass
+builder and cross-process manifest safety.
+
+The sharded build is the engine's concurrent-import analog
+(/root/reference/README.md:14) re-expressed as doc-disjoint shard segments
+(the ES/Lucene shard model). The contract: building the SAME corpus as N
+shards — in any order, from any number of writers — yields an index whose
+query results are identical (doc_ids AND float64 scores) to the plain
+build's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from excelastic_spark import sharded
+from excelastic_spark.build import IndexBuilder
+from excelastic_spark.catalog import IndexStore
+from excelastic_spark.config import EngineConfig
+from excelastic_spark.corpus import synthesize_corpus
+from excelastic_spark.query import QueryEngine
+
+N_DOCS = 1500
+QUERIES = [
+    (["import", "return"], "or"),
+    (["def", "class", "self"], "and"),
+    (["sym0005", "import"], "or"),
+    (["uniq7", "return"], "or"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthesize_corpus(spark, N_DOCS, partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def plain_store(spark, tmp_path_factory, corpus):
+    cfg = EngineConfig().tiny()
+    store = IndexStore(str(tmp_path_factory.mktemp("plain_wh")), "idx")
+    IndexBuilder(spark, store, cfg).build(corpus)
+    return store, cfg
+
+
+@pytest.fixture(scope="module")
+def sharded_store(spark, tmp_path_factory, corpus):
+    cfg = EngineConfig().tiny()
+    store = IndexStore(str(tmp_path_factory.mktemp("shard_wh")), "idx")
+    plan = sharded.plan_shards(corpus, 3, store, cfg)
+    # build out of order on purpose: segment order must not matter
+    for s in (2, 0, 1):
+        sharded.build_shard(spark, store, corpus, s, cfg)
+    sharded.finalize(spark, store, cfg)
+    return store, cfg, plan
+
+
+def test_doc_ids_identical(spark, plain_store, sharded_store):
+    ps, _ = plain_store
+    ss, _, plan = sharded_store
+    a = ps.read_table(spark, "docs").select("repo", "path", "commit", "doc_id")
+    b = ss.read_table(spark, "docs").select(
+        "repo", "path", "commit", "doc_id"
+    ).withColumnRenamed("doc_id", "doc_id_sharded")
+    j = a.join(b, ["repo", "path", "commit"]).toPandas()
+    assert len(j) == N_DOCS == plan["n_docs"]
+    assert (j["doc_id"] == j["doc_id_sharded"]).all()
+
+
+def test_stats_identical(spark, plain_store, sharded_store):
+    ps, _ = plain_store
+    ss, _, _ = sharded_store
+    a = ps.read_table(spark, "stats").collect()[0]
+    b = ss.read_table(spark, "stats").collect()[0]
+    assert a["n_docs"] == b["n_docs"]
+    assert a["n_terms"] == b["n_terms"]
+    assert a["avgdl"] == pytest.approx(b["avgdl"], rel=0, abs=0)
+
+
+def test_queries_rank_identical(spark, plain_store, sharded_store):
+    ps, pcfg = plain_store
+    ss, scfg, _ = sharded_store
+    qa = QueryEngine(spark, ps, pcfg)
+    qb = QueryEngine(spark, ss, scfg)
+    for terms, mode in QUERIES:
+        ra = qa.search(terms, mode, 10)
+        rb = qb.search(terms, mode, 10)
+        np.testing.assert_array_equal(ra.doc_ids, rb.doc_ids)
+        np.testing.assert_array_equal(ra.scores, rb.scores)
+
+
+def test_finalize_requires_all_shards(spark, tmp_path, corpus):
+    cfg = EngineConfig().tiny()
+    store = IndexStore(str(tmp_path / "wh"), "idx")
+    sharded.plan_shards(corpus, 2, store, cfg)
+    sharded.build_shard(spark, store, corpus, 0, cfg)
+    with pytest.raises(RuntimeError, match="shards not built"):
+        sharded.finalize(spark, store, cfg)
