@@ -18,6 +18,8 @@ HOT_MODULES = [
     "codec.py",
     "corpus.py",
     "query.py",
+    "sharded.py",
+    "streaming/incremental.py",
     "functions/dedup.py",
     "functions/similarity.py",
     "functions/text.py",

@@ -89,6 +89,59 @@ def test_queries_rank_identical(spark, plain_store, sharded_store):
         np.testing.assert_array_equal(ra.scores, rb.scores)
 
 
+SHARD_PROC = r"""
+import sys
+sys.path.insert(0, sys.argv[4])
+from excelastic_spark import sharded
+from excelastic_spark.catalog import IndexStore
+from excelastic_spark.config import EngineConfig
+from excelastic_spark.corpus import synthesize_corpus
+from excelastic_spark.session import get_spark
+
+wh, shard, n_docs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+cfg = EngineConfig().tiny()
+spark = get_spark(app_name=f"t-shard-{shard}", master="local[2]", config=cfg)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = synthesize_corpus(spark, n_docs, partitions=4)
+store = IndexStore(wh, "idx")
+sharded.build_shard(spark, store, corpus, shard, cfg)
+spark.stop()
+"""
+
+
+def test_concurrent_cross_process_writers(spark, tmp_path, corpus):
+    """Two OS processes build shards of the same index SIMULTANEOUSLY —
+    the catalog's file-locked manifest commits must not lose either
+    writer's segments (the Iceberg optimistic-commit property)."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    cfg = EngineConfig().tiny()
+    store = IndexStore(str(tmp_path / "wh"), "idx")
+    sharded.plan_shards(corpus, 2, store, cfg)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", SHARD_PROC, store.root.rsplit("/", 1)[0],
+             str(s), str(N_DOCS), repo],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+        for s in (0, 1)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-2000:]
+    sharded.finalize(spark, store, cfg)
+    # both shards' segments present, nothing lost to a commit race
+    docs = store.read_table(spark, "docs")
+    assert docs.count() == N_DOCS
+    assert docs.select("doc_id").distinct().count() == N_DOCS
+    qe = QueryEngine(spark, store, cfg)
+    res = qe.search(["import", "return"], "or", 5)
+    assert len(res.doc_ids) == 5
+
+
 def test_finalize_requires_all_shards(spark, tmp_path, corpus):
     cfg = EngineConfig().tiny()
     store = IndexStore(str(tmp_path / "wh"), "idx")
