@@ -25,13 +25,18 @@ Two paths:
   single-typed in a DataFrame; per-cell dynamic typing survives in the
   ``parse_rows`` path and its tests).
 
-XLSX/XLS: the POI dependency is not available in this sandbox, so the
-workbook branch raises ``UnsupportedFileTypeException`` unless ``openpyxl``
-is importable (import-gated, same dispatch shape as ParserFactory).
+XLSX/XLS: parsed by the stdlib workbook readers
+(:mod:`excelastic_spark.sources.workbook` for OOXML zip+XML,
+:mod:`excelastic_spark.sources.biff` for BIFF8/OLE2) with the reference's
+exact cell semantics (ExcelParser.java:34-124); no POI/openpyxl needed.
+``read_workbooks`` distributes parsing one-file-per-task via the binaryFile
+source (xlsx is a zip — not splittable; the scale unit is the file, exactly
+the reference's worker-pool-per-file model, Website.java:196).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,16 +116,14 @@ def _headers(cells: list[str]) -> list[str]:
 def parse_rows(path: str, offset: int = 1) -> tuple[list[str], list[dict]]:
     """Reference-exact parse: (headers, row documents). The full file is
     parsed before returning — the initialize() dry-run semantics: any error
-    aborts with nothing emitted (ExcelParser.java:90-102, README.md:15)."""
-    _extension(path)
-    if not path.lower().endswith(".csv"):
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:  # pragma: no cover - sandbox has no openpyxl
-            raise UnsupportedFileTypeException(
-                "workbook parsing requires openpyxl (not installed)"
-            ) from e
-        raise UnsupportedFileTypeException("workbook path not implemented")
+    aborts with nothing emitted (ExcelParser.java:90-102, README.md:15).
+    Dispatch by extension mirrors ParserFactory.getByFilename
+    (ParserFactory.java:38-53)."""
+    ext = _extension(path)
+    if ext in (".xlsx", ".xls"):
+        with open(path, "rb") as f:
+            data = f.read()
+        return parse_workbook_bytes(data, ext, offset)
     try:
         with open(path, encoding="utf-8") as f:
             lines = f.read().split("\n")
@@ -153,19 +156,53 @@ def read_typed(
     inference with the reference's regexes. Whole columns are cast (Long /
     Double / Boolean) only when every non-empty cell matches; otherwise the
     column stays String. Pushdown-friendly: the output is plain typed
-    columns, no UDFs."""
+    columns, no UDFs.
+
+    Line numbers are recovered WITHOUT a global window (a single-partition
+    Exchange — the scale-killer the reference avoids with chunked mmap,
+    CSVParser.java:49-74): within a scan partition
+    ``monotonically_increasing_id`` is consecutive, and partitions of a
+    single file cover contiguous, disjoint byte ranges, so
+    ``line = cum_rows_before(partition) + (mid - min_mid(partition))`` —
+    one cheap per-partition count aggregate (B rows to the driver), no
+    shuffle of the data at all."""
     _extension(path)
-    from pyspark.sql.window import Window
 
     raw = spark.read.option("header", "false").option("quote", '"').csv(path)
-    # physical file order: monotonically_increasing_id is ascending within
-    # and across splits in read order, so row_number over it recovers the
-    # original line numbering needed for the header offset
-    idx = raw.withColumn("_idx", F.monotonically_increasing_id())
-    idx = idx.withColumn("_rn", F.row_number().over(Window.orderBy("_idx")))
+    idx = raw.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+        F.input_file_block_start().alias("_bs"),
+    )
+    parts = (
+        idx.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_mid").alias("m0"),
+            F.min("_bs").alias("b0"),
+        )
+        .collect()
+    )
+    # partitions ordered by their first byte offset in the file = line order
+    offsets: dict[int, tuple[int, int]] = {}
+    acc = 0
+    for r in sorted(parts, key=lambda r: r["b0"]):
+        offsets[r["_pid"]] = (acc, r["m0"])
+        acc += r["n"]
+    base_map = F.create_map(
+        *[F.lit(x) for pid, (off, _) in offsets.items() for x in (pid, off)]
+    )
+    m0_map = F.create_map(
+        *[F.lit(x) for pid, (_, m0) in offsets.items() for x in (pid, m0)]
+    )
+    idx = idx.withColumn(
+        "_rn",
+        base_map[F.col("_pid")] + (F.col("_mid") - m0_map[F.col("_pid")]) + 1,
+    )
     header_row = idx.filter(F.col("_rn") == offset).collect()[0]
     names = _headers([header_row[c] or "" for c in raw.columns])
-    data = idx.filter(F.col("_rn") > offset).drop("_idx", "_rn")
+    data = idx.filter(F.col("_rn") > offset).drop("_pid", "_mid", "_bs", "_rn")
     df = data.toDF(*names)
     # column-level inference: one aggregate pass computing match counts
     checks = []
@@ -196,3 +233,106 @@ def read_typed(
         else:
             out_cols.append(F.when(t == "", None).otherwise(t).alias(c))
     return df.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# workbook (XLSX/XLS) paths
+
+
+def parse_workbook_bytes(
+    data: bytes, ext: str, offset: int = 1
+) -> tuple[list[str], list[dict]]:
+    """Parse workbook bytes with the reference's ExcelParser semantics;
+    structural errors surface as ParserException like
+    ExcelParser.setFileData:47-53 wraps POI failures."""
+    from excelastic_spark.sources.workbook import WorkbookError, parse_xlsx_rows
+
+    try:
+        if ext == ".xlsx":
+            return parse_xlsx_rows(data, offset)
+        from excelastic_spark.sources.biff import parse_xls_rows
+
+        return parse_xls_rows(data, offset)
+    except WorkbookError as e:
+        raise ParserException(str(e)) from e
+
+
+def read_workbooks(
+    spark: SparkSession, path: str, offset: int = 1
+) -> DataFrame:
+    """Distributed workbook ingest: ``path`` (file/dir/glob of .xlsx/.xls)
+    is scanned via the binaryFile source and each file parses in ITS OWN
+    task — a zip container is not splittable, so the file is the unit of
+    parallelism (the reference's one-worker-per-file pool, README.md:14).
+    Output: (src_file, row_number, doc) with ``doc`` the typed row document
+    as a JSON string (workbooks are schema-per-file; callers project to
+    columns via :func:`workbook_typed` when the header set is known)."""
+    import pandas as pd
+
+    bin_df = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            out_src, out_no, out_doc = [], [], []
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                ext = "." + src.rsplit(".", 1)[1].lower()
+                _, docs = parse_workbook_bytes(bytes(blob), ext, offset)
+                for i, d in enumerate(docs):
+                    out_src.append(src)
+                    out_no.append(i + 1)
+                    out_doc.append(json.dumps(d, sort_keys=True))
+            yield pd.DataFrame(
+                {"src_file": out_src, "row_number": out_no, "doc": out_doc}
+            )
+
+    return bin_df.mapInPandas(
+        parse, schema="src_file string, row_number long, doc string"
+    )
+
+
+def workbook_typed(
+    spark: SparkSession, path: str, offset: int = 1
+) -> DataFrame:
+    """Typed single-workbook read (the reference's per-file import unit):
+    parse driver-side, then unify per-cell dynamic types to columns with the
+    same rule as ``read_typed`` — all-int -> long, numeric mix -> double,
+    all-bool -> boolean, otherwise string; absent cells -> null."""
+    headers, docs = parse_rows(path, offset)
+    cols: dict[str, list] = {h: [] for h in headers}
+    for d in docs:
+        for h in headers:
+            cols[h].append(d.get(h))
+    fields = []
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows_out: list[list] = [[] for _ in docs]
+    for h in headers:
+        vals = cols[h]
+        non_null = [v for v in vals if v is not None]
+        if non_null and all(
+            isinstance(v, bool) for v in non_null
+        ):
+            typ, conv = BooleanType(), lambda v: v
+        elif non_null and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in non_null
+        ):
+            if all(isinstance(v, int) for v in non_null):
+                typ, conv = LongType(), int
+            else:
+                typ, conv = DoubleType(), float
+        else:
+            typ, conv = StringType(), str
+        fields.append(StructField(h, typ, True))
+        for i, v in enumerate(vals):
+            rows_out[i].append(None if v is None else conv(v))
+    return spark.createDataFrame(rows_out, schema=StructType(fields))
