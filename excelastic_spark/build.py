@@ -250,6 +250,54 @@ def _encode_partition(cfg: EngineConfig, avgdl: float):
     return fn
 
 
+def encode_postings(
+    triples: DataFrame, terms: DataFrame, cfg: EngineConfig, avgdl: float
+) -> DataFrame:
+    """Shared postings pipeline: salt hot terms (broadcast ONLY the salted
+    subset of the terms table), ONE (term, salt) shuffle into the sorted-run
+    vectorized encoder, then align rows with the bucket partition dirs.
+    Used by the full build, the shard builder, the incremental appender and
+    the segment merge — one tested kernel, four call sites."""
+    hot = terms.filter(F.col("n_salts") > 1).select("term", "n_salts")
+    salted = (
+        triples.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_salts")),
+            )
+            .otherwise(F.lit(0))
+            .cast(IntegerType()),
+        )
+        .drop("n_salts")
+    )
+    return (
+        salted.repartition(cfg.shuffle_partitions, "term", "salt")
+        .mapInPandas(_encode_partition(cfg, avgdl), schema=POSTINGS_SCHEMA)
+        .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
+        .repartition(cfg.n_buckets, "bucket")
+    )
+
+
+def term_stats(triples: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(term, df, cf, n_salts, bucket) from a triples set — the terms-table
+    shape. Salting plan: df > salt_threshold splits into ceil(df/salt_target)
+    sub-lists."""
+    return (
+        triples.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn(
+            "n_salts",
+            F.when(
+                F.col("df") > cfg.salt_threshold,
+                F.ceil(F.col("df") / cfg.salt_target).cast(IntegerType()),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
+    )
+
+
 class IndexBuilder:
     def __init__(
         self, spark: SparkSession, store: IndexStore, cfg: EngineConfig | None = None
@@ -313,15 +361,20 @@ class IndexBuilder:
                 corpus, validate=False, bucket_counts=bucket_counts
             )
             got = self._write_observed(
-                ingested, "ingested", {"n": F.count(F.lit(1))}
+                ingested, "ingested",
+                {"n": F.count(F.lit(1)), "max_id": F.max("doc_id")},
             )
             dt = time.time() - t0
             counts["n_docs"] = int(got["n"])
+            counts["max_doc_id"] = int(got["max_id"])
             metrics["ingest"] = store.log_metrics(
                 "ingest", n_docs=counts["n_docs"], sec=round(dt, 3),
                 docs_per_sec=round(counts["n_docs"] / max(dt, 1e-9), 1),
             )
-            store.commit_stage("ingest", fp, n_docs=counts["n_docs"])
+            store.commit_stage(
+                "ingest", fp, n_docs=counts["n_docs"],
+                max_doc_id=counts["max_doc_id"],
+            )
 
         ingested = store.read_table(spark, "ingested")
 
@@ -387,16 +440,24 @@ class IndexBuilder:
 
             docs_pool = ThreadPoolExecutor(1)
             docs_future = docs_pool.submit(_docs_and_commit)
+        chain_exc: BaseException | None = None
         try:
             self._build_chain(fp, triples, counts, metrics)
-        finally:
-            # always join the docs thread; if the chain succeeded, a docs
-            # failure propagates from .result() here
-            if docs_future is not None:
-                try:
-                    docs_future.result()
-                finally:
-                    docs_pool.shutdown(wait=False)
+        except BaseException as e:
+            chain_exc = e
+        # always join the docs thread; the chain's exception stays primary —
+        # a concurrent docs failure must not mask it
+        if docs_future is not None:
+            try:
+                docs_future.result()
+            except BaseException as docs_exc:
+                if chain_exc is None:
+                    raise
+                chain_exc.__context__ = docs_exc
+            finally:
+                docs_pool.shutdown(wait=False)
+        if chain_exc is not None:
+            raise chain_exc
 
         return metrics
 
@@ -413,21 +474,9 @@ class IndexBuilder:
 
         def _terms_stage() -> None:
             t0 = time.time()
-            ts = (
-                triples.groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-                .withColumn(
-                    "n_salts",
-                    F.when(
-                        F.col("df") > cfg.salt_threshold,
-                        F.ceil(F.col("df") / cfg.salt_target).cast(IntegerType()),
-                    ).otherwise(F.lit(1)),
-                )
-                .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-                # align tasks with partition dirs: each write task emits ONE
-                # bucket file instead of spraying tasks x buckets tiny files
-                .repartition(cfg.n_buckets, "bucket")
-            )
+            # align tasks with partition dirs: each write task emits ONE
+            # bucket file instead of spraying tasks x buckets tiny files
+            ts = term_stats(triples, cfg).repartition(cfg.n_buckets, "bucket")
             got = self._write_observed(
                 ts, "terms", {"n": F.count(F.lit(1))}, partition_by=["bucket"]
             )
@@ -471,6 +520,15 @@ class IndexBuilder:
             metrics["stats"] = store.log_metrics(
                 "stats", n_docs=n_docs, avgdl=avgdl, n_terms=n_terms
             )
+            # running totals for O(increment) appends (incremental.py reads
+            # these instead of re-aggregating the whole triples table)
+            max_id = counts.get("max_doc_id")
+            if max_id is None:
+                max_id = st.get("ingest", {}).get("max_doc_id", n_docs - 1)
+            store.commit_stage(
+                "totals", fp, n_docs=n_docs, total_tf=total_tf,
+                max_doc_id=int(max_id),
+            )
             store.commit_stage("stats", fp)
 
         if avgdl is None:  # resuming past stats: read it back
@@ -479,30 +537,7 @@ class IndexBuilder:
         # ---- stage: postings ----
         if not (store.stage_done("postings", fp) and store.has_table("postings")):
             t0 = time.time()
-            # broadcast ONLY the hot (salted) terms — tiny by construction
-            hot = terms.filter(F.col("n_salts") > 1).select("term", "n_salts")
-            salted = (
-                triples.join(F.broadcast(hot), "term", "left")
-                .withColumn(
-                    "salt",
-                    F.when(
-                        F.col("n_salts").isNotNull(),
-                        F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_salts")),
-                    )
-                    .otherwise(F.lit(0))
-                    .cast(IntegerType()),
-                )
-                .drop("n_salts")
-            )
-            postings = (
-                salted.repartition(cfg.shuffle_partitions, "term", "salt")
-                .mapInPandas(_encode_partition(cfg, avgdl), schema=POSTINGS_SCHEMA)
-                .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-                # align output files with the bucket partitioning: one
-                # lightweight exchange of the already-compressed rows so a
-                # term lookup reads O(1) files, not O(shuffle_partitions)
-                .repartition(cfg.n_buckets, "bucket")
-            )
+            postings = encode_postings(triples, terms, cfg, avgdl)
             got = self._write_observed(
                 postings,
                 "postings",

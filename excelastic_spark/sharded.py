@@ -55,10 +55,9 @@ from pyspark.sql.types import IntegerType, LongType
 
 from excelastic_spark.build import (
     LAYOUT_VERSION,
-    POSTINGS_SCHEMA,
     STATS_SCHEMA,
-    _encode_partition,
     bucket_expr,
+    encode_postings,
     validate_and_fingerprint,
 )
 from excelastic_spark.catalog import IndexStore
@@ -85,6 +84,7 @@ def plan_shards(
         "n_shards": n_shards,
         "id_buckets": ID_BUCKETS,
         "offsets": {str(k): v for k, v in offsets.items()},
+        "counts": {str(k): v for k, v in bucket_counts.items()},
     }
     store.save_config(cfg.layout_dict())
     with open(os.path.join(store.root, "shard_plan.json"), "w") as f:
@@ -105,10 +105,19 @@ def build_shard(
     cfg: EngineConfig | None = None,
 ) -> dict[str, Any]:
     """Build one shard's segments and append them to the shared store.
-    Safe to run concurrently with other shards from separate processes."""
+    Safe to run concurrently with other shards from separate processes.
+    Retry-safe: a shard whose stage entry already matches the plan
+    fingerprint is skipped (a crashed partial attempt leaves uncommitted
+    segments that finalize's doc-count check detects)."""
     cfg = EngineConfig.from_store(store, cfg)
     plan = load_plan(store)
     n_shards = int(plan["n_shards"])
+    if not 0 <= shard < n_shards:
+        raise ValueError(f"shard {shard} outside [0, {n_shards})")
+    if store.stage_done(f"shard_{shard}", plan["fingerprint"]):
+        # already built for THIS plan: appending again would duplicate
+        # segments and silently double query scores
+        return {"stage": f"shard_{shard}", "skipped": True}
     offsets = {int(k): v for k, v in plan["offsets"].items()}
     t0 = time.time()
 
@@ -147,20 +156,14 @@ def build_shard(
 
     # shard-local term stats; salting threshold scaled by shard count
     # because a term's postings split ~uniformly across doc-hash shards
-    thr = max(1, cfg.salt_threshold // n_shards)
-    tgt = max(1, cfg.salt_target // n_shards)
-    shard_terms = (
-        triples.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn(
-            "n_salts",
-            F.when(
-                F.col("df") > thr,
-                F.ceil(F.col("df") / tgt).cast(IntegerType()),
-            ).otherwise(F.lit(1)),
-        )
-        .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-        .repartition(cfg.n_buckets, "bucket")
+    from excelastic_spark.build import term_stats
+
+    shard_cfg = cfg.with_overrides(
+        salt_threshold=max(1, cfg.salt_threshold // n_shards),
+        salt_target=max(1, cfg.salt_target // n_shards),
+    )
+    shard_terms = term_stats(triples, shard_cfg).repartition(
+        cfg.n_buckets, "bucket"
     )
     terms_path = store.write_table(
         shard_terms, "shard_terms", mode="append", partition_by=["bucket"]
@@ -171,31 +174,25 @@ def build_shard(
         F.count(F.lit(1)).alias("n_triples"), F.sum("tf").alias("total_tf")
     ).collect()[0]
     n_docs_shard = ingested.count()
+    # drift check (free): the shard's doc count must equal the plan's bucket
+    # counts for its owned buckets — catches a corpus that changed since
+    # shard-plan before wrong doc_ids are committed under the plan's print
+    planned = sum(
+        int(n)
+        for b, n in plan.get("counts", {}).items()
+        if int(b) % n_shards == shard
+    )
+    if plan.get("counts") and n_docs_shard != planned:
+        raise RuntimeError(
+            f"shard {shard}: corpus drifted since shard-plan "
+            f"({n_docs_shard} docs vs {planned} planned)"
+        )
     # avgdl for block-max metadata: the plan's global corpus is uniform
     # across shards, so the shard estimate is unbiased; exact bounds are
     # recomputed at query time anyway (query.py lookup()).
     avgdl_est = float(agg["total_tf"] or 0) / max(n_docs_shard, 1)
 
-    hot = shard_terms.filter(F.col("n_salts") > 1).select("term", "n_salts")
-    salted = (
-        triples.join(F.broadcast(hot), "term", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("n_salts").isNotNull(),
-                F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_salts")),
-            )
-            .otherwise(F.lit(0))
-            .cast(IntegerType()),
-        )
-        .drop("n_salts")
-    )
-    postings = (
-        salted.repartition(cfg.shuffle_partitions, "term", "salt")
-        .mapInPandas(_encode_partition(cfg, avgdl_est), schema=POSTINGS_SCHEMA)
-        .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-        .repartition(cfg.n_buckets, "bucket")
-    )
+    postings = encode_postings(triples, shard_terms, shard_cfg, avgdl_est)
     store.write_table(postings, "postings", mode="append", partition_by=["bucket"])
 
     dt = time.time() - t0
@@ -250,6 +247,15 @@ def finalize(
     total_tf = sum(
         st[f"shard_{s}"]["total_tf"] for s in range(int(plan["n_shards"]))
     )
+    # duplicate-segment guard: a crashed-and-retried shard that appended
+    # twice passes per-shard fingerprints but doubles the docs table; the
+    # metadata count is cheap and catches it before stats commit
+    actual_docs = store.read_table(spark, "docs").count()
+    if actual_docs != plan["n_docs"] or n_docs != plan["n_docs"]:
+        raise RuntimeError(
+            f"doc count mismatch: docs table {actual_docs}, shard stages "
+            f"{n_docs}, plan {plan['n_docs']} — duplicate or missing segments"
+        )
     avgdl = float(total_tf) / n_docs if n_docs else 0.0
     stats_df = spark.createDataFrame(
         [(n_docs, avgdl, n_terms, cfg.k1, cfg.b, cfg.block_size)],
@@ -257,6 +263,10 @@ def finalize(
     )
     store.write_table(stats_df, "stats")
     store.commit_stage("finalize", plan["fingerprint"], n_docs=n_docs)
+    store.commit_stage(
+        "totals", plan["fingerprint"], n_docs=n_docs, total_tf=total_tf,
+        max_doc_id=n_docs - 1,
+    )
     return store.log_metrics(
         "finalize", n_docs=n_docs, n_terms=int(n_terms), avgdl=avgdl,
         sec=round(time.time() - t0, 3),

@@ -7,37 +7,82 @@ increment writes NEW postings rows (a segment) and a merge job compacts
 segments per term — the Lucene segment-merge model (public), re-expressed
 as a Spark batch job (SURVEY.md §2B B3/B11).
 
+Cost model (the 100 TB requirement):
+
+* ``append_increment`` is **O(increment + vocabulary)**, never O(index):
+  the increment is tokenized/encoded through the same kernels as the full
+  build, its term stats are merged into the existing terms table
+  (vocab-sized, tiny next to the corpus), and collection stats advance from
+  running totals kept in the manifest — the triples/docs/postings tables
+  are appended to but NEVER re-read.
+* ``merge_segments`` is **O(postings bytes)**, never O(corpus): appended
+  posting rows are DECODED back to (doc_id, term, tf, doclen) rows in
+  executors and re-encoded through the shared sorted-run kernel (which also
+  re-applies the salting plan from the current terms table). No
+  re-tokenization, no triples read — the Lucene merge model, where merge
+  cost is proportional to the segments being merged.
+
 Streaming ingest uses Structured Streaming's file source + foreachBatch:
 every micro-batch runs the SAME deterministic ingest/tokenize/encode
 kernels as the batch builder (exactly-once per file via the streaming
-checkpoint; doc_ids offset by the running doc count so appends never
-collide).
+checkpoint; doc_ids offset by the running totals so appends never collide).
 
 Correctness under appends: query-side weights are always computed from the
 decoded (tf, doclen) and the CURRENT stats table, and block bounds are
 recomputed at lookup (query.py), so scores stay exact as avgdl/df drift;
-merge + stats refresh restore optimal layout.
+merge restores the compact one-row-per-(term, salt) layout.
 """
 
 from __future__ import annotations
 
 import time
+from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType
 
+from excelastic_spark import codec
 from excelastic_spark.build import (
-    POSTINGS_SCHEMA,
     STATS_SCHEMA,
-    _encode_partition,
-    bucket_expr,
+    encode_postings,
 )
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
 from excelastic_spark.corpus import CORPUS_SCHEMA, assign_doc_ids
-from excelastic_spark.tokenizer import tokenize_triples
+from excelastic_spark.tokenizer import TRIPLES_SCHEMA, tokenize_triples
+
+
+def _decode_rows_to_triples(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Posting rows -> (doc_id, term, tf, doclen) rows. The loop is over
+    (term, salt, segment) index ROWS — a handful per term — while each
+    decode is one vectorized numpy pass over that row's postings (the same
+    allowlisted pattern as the query-side decode, query.py)."""
+    for pdf in batches:
+        ids_all, terms_all, tfs_all, dls_all = [], [], [], []
+        for _, row in pdf.iterrows():
+            ids = codec.decode_delta_varint(bytes(row["doc_ids"]))
+            tfs = codec.decode_varint(bytes(row["tfs"]))
+            dls = codec.decode_varint(bytes(row["doclens"]))
+            ids_all.append(ids.astype(np.int64))
+            tfs_all.append(tfs.astype(np.int64))
+            dls_all.append(dls.astype(np.int64))
+            terms_all.append(np.repeat(row["term"], ids.size))
+        if not ids_all:
+            continue
+        yield pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids_all),
+                "term": np.concatenate(terms_all),
+                "tf": np.concatenate(tfs_all),
+                "doclen": np.concatenate(dls_all),
+            }
+        )
 
 
 class IncrementalIndexer:
@@ -51,71 +96,145 @@ class IncrementalIndexer:
         # inherit the index's persisted layout params (see catalog.save_config)
         self.cfg = EngineConfig.from_store(store, cfg)
 
-    # ------------------------------------------------------------- append
+    # ------------------------------------------------------------- totals
 
-    def _current_n_docs(self) -> int:
+    def _totals(self) -> dict[str, int]:
+        """Running (n_docs, total_tf, max_doc_id) — manifest first (written
+        by build/finalize/previous appends), falling back to the stats
+        table + stage entries for indexes from older layouts."""
+        st = self.store.manifest()["stages"]
+        tot = st.get("totals")
+        if tot and "n_docs" in tot and "total_tf" in tot:
+            return {
+                "n_docs": int(tot["n_docs"]),
+                "total_tf": int(tot["total_tf"]),
+                "max_doc_id": int(tot.get("max_doc_id", tot["n_docs"] - 1)),
+            }
         if not self.store.has_table("stats"):
-            return 0
-        return int(
-            self.store.read_table(self.spark, "stats").collect()[0]["n_docs"]
-        )
+            return {"n_docs": 0, "total_tf": 0, "max_doc_id": -1}
+        srow = self.store.read_table(self.spark, "stats").collect()[0]
+        n_docs = int(srow["n_docs"])
+        total_tf = st.get("triples", {}).get("total_tf")
+        if total_tf is None:
+            # avgdl was computed as total_tf / n_docs in float64; n_docs is
+            # small enough that the rounding recovers the exact integer
+            total_tf = round(float(srow["avgdl"]) * n_docs)
+        return {
+            "n_docs": n_docs,
+            "total_tf": int(total_tf),
+            "max_doc_id": n_docs - 1,
+        }
 
-    def append_increment(self, increment: DataFrame) -> dict[str, Any]:
-        """One increment (same corpus schema) -> new docs/triples/postings
-        segments + refreshed stats. doc_ids continue after the existing
-        max so segments are doc-disjoint."""
+    def append_increment(
+        self, increment: DataFrame, pre_ingested: bool = False
+    ) -> dict[str, Any]:
+        """One increment (corpus schema) -> new docs/triples/postings
+        SEGMENTS + merged terms + advanced stats. O(increment + vocab):
+        only the new segment parquet (written then read back, so downstream
+        stages scan parquet not the increment's lineage) and the terms
+        table are ever scanned — never the existing triples/docs/postings.
+
+        ``pre_ingested``: increment already carries doc_id + sha256; its
+        doc_ids must all exceed the index's current max (doc-disjoint
+        segments are what make append/merge/query correct)."""
         spark, store, cfg = self.spark, self.store, self.cfg
         t0 = time.time()
-        base = self._current_n_docs()
-        with_ids = assign_doc_ids(increment, partitions=cfg.shuffle_partitions)
-        ingested = with_ids.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(base)).cast(LongType())
-        ).withColumn("sha256", F.sha2(F.col("content"), 256))
-        store.write_table(ingested, "ingested", mode="append")
-        # read the appended snapshot back so downstream stages scan parquet,
-        # not the (possibly expensive) increment lineage
-        all_ingested = store.read_table(spark, "ingested")
-        seg = all_ingested.filter(F.col("doc_id") >= base)
+        tot = self._totals()
+        next_id = tot["max_doc_id"] + 1
+        if pre_ingested:
+            ingested = increment
+            # disjointness guard BEFORE any segment write (one pass over the
+            # increment only): overlapping doc_ids would silently corrupt
+            # the doc-disjoint segment invariant append/merge/query rely on
+            g = ingested.agg(F.min("doc_id").alias("min_id")).collect()[0]
+            if g["min_id"] is not None and g["min_id"] < next_id:
+                raise ValueError(
+                    f"pre_ingested increment doc_ids start at {g['min_id']} "
+                    f"but the index already contains ids up to {next_id - 1}"
+                )
+        else:
+            with_ids = assign_doc_ids(increment, partitions=cfg.shuffle_partitions)
+            ingested = with_ids.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(next_id)).cast(LongType())
+            ).withColumn("sha256", F.sha2(F.col("content"), 256))
+        seg_path = store.write_table(ingested, "ingested", mode="append")
+        seg = spark.read.parquet(seg_path)
 
-        triples = tokenize_triples(seg)
-        store.write_table(triples, "triples", mode="append")
-        seg_triples = store.read_table(spark, "triples").filter(
-            F.col("doc_id") >= base
+        tri_path = store.write_table(
+            tokenize_triples(seg), "triples", mode="append"
         )
+        seg_triples = spark.read.parquet(tri_path)
+
+        # segment agg: doc count / min id / total_tf in ONE pass over the
+        # segment triples (plus segment docs without triples via the join)
         doclens = seg_triples.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
         docs_out = seg.join(doclens, "doc_id", "left").select(
             "doc_id", "repo", "path", "commit", "lang", "sha256",
             F.coalesce("doclen", F.lit(0)).cast(LongType()).alias("doclen"),
         )
         store.write_table(docs_out, "docs", mode="append")
+        seg_agg = seg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).collect()[0]
+        tf_agg = seg_triples.agg(F.sum("tf").alias("tf")).collect()[0]
+        inc_docs = int(seg_agg["n"])
+        inc_tf = int(tf_agg["tf"] or 0)
 
-        # postings segment: encode with the same kernel; stats refreshed after
-        stats = self._refresh_stats()
-        seg_postings = (
-            seg_triples.withColumn("salt", F.lit(0).cast(IntegerType()))
-            .repartition(cfg.shuffle_partitions, "term", "salt")
-            .mapInPandas(
-                _encode_partition(cfg, stats["avgdl"]), schema=POSTINGS_SCHEMA
-            )
-            .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-            .repartition(cfg.n_buckets, "bucket")
+        # ---- terms: merge increment stats into the EXISTING terms table
+        # (vocab-sized — the sharded.finalize pattern), never the triples
+        inc_terms = seg_triples.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
-        store.write_table(seg_postings, "postings", mode="append",
-                          partition_by=["bucket"])
-        # terms table must reflect merged df for salting/query idf
-        self._refresh_terms()
+        if store.has_table("terms"):
+            old = store.read_table(spark, "terms").select("term", "df", "cf")
+            merged_raw = old.unionByName(inc_terms).groupBy("term").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            )
+        else:
+            merged_raw = inc_terms
+        merged = self._plan_salts(merged_raw)
+        n_terms = merged.count()
+        store.write_table(
+            merged.repartition(cfg.n_buckets, "bucket"),
+            "terms",
+            partition_by=["bucket"],
+        )
+
+        # ---- stats from running totals (no index scan)
+        n_docs = tot["n_docs"] + inc_docs
+        total_tf = tot["total_tf"] + inc_tf
+        avgdl = float(total_tf) / n_docs if n_docs else 0.0
+        stats_df = spark.createDataFrame(
+            [(n_docs, avgdl, n_terms, cfg.k1, cfg.b, cfg.block_size)],
+            schema=STATS_SCHEMA,
+        )
+        store.write_table(stats_df, "stats")
+        store.commit_stage(
+            "totals", "append", n_docs=n_docs, total_tf=total_tf,
+            max_doc_id=int(seg_agg["max_id"]) if inc_docs else tot["max_doc_id"],
+        )
+
+        # ---- postings segment: same shared kernel; salting plan from the
+        # MERGED terms (a term that just went hot salts its new segment)
+        seg_postings = encode_postings(seg_triples, merged, cfg, avgdl)
+        store.write_table(
+            seg_postings, "postings", mode="append", partition_by=["bucket"]
+        )
         rec = self.store.log_metrics(
-            "append", n_new_docs=seg.count(), sec=round(time.time() - t0, 3)
+            "append", n_new_docs=inc_docs, new_tokens=inc_tf,
+            sec=round(time.time() - t0, 3),
         )
         return rec
 
-    def _refresh_terms(self) -> None:
-        spark, store, cfg = self.spark, self.store, self.cfg
-        triples = store.read_table(spark, "triples")
-        ts = (
-            triples.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-            .withColumn(
+    def _plan_salts(self, term_counts: DataFrame) -> DataFrame:
+        """(term, df, cf) -> full terms-table shape (n_salts, bucket)."""
+        from excelastic_spark.build import bucket_expr
+
+        cfg = self.cfg
+        return (
+            term_counts.withColumn(
                 "n_salts",
                 F.when(
                     F.col("df") > cfg.salt_threshold,
@@ -124,61 +243,28 @@ class IncrementalIndexer:
             )
             .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
         )
-        store.write_table(ts, "terms", partition_by=["bucket"])
-
-    def _refresh_stats(self) -> dict[str, Any]:
-        spark, store, cfg = self.spark, self.store, self.cfg
-        docs = store.read_table(spark, "docs") if store.has_table("docs") else None
-        triples = store.read_table(spark, "triples")
-        agg = triples.agg(
-            F.sum("tf").alias("total"), F.count_distinct("term").alias("n_terms")
-        ).collect()[0]
-        n_docs = docs.count() if docs is not None else 0
-        avgdl = float(agg["total"] or 0) / n_docs if n_docs else 0.0
-        stats_df = spark.createDataFrame(
-            [(n_docs, avgdl, int(agg["n_terms"] or 0), cfg.k1, cfg.b, cfg.block_size)],
-            schema=STATS_SCHEMA,
-        )
-        store.write_table(stats_df, "stats")
-        return {"n_docs": n_docs, "avgdl": avgdl}
 
     # -------------------------------------------------------------- merge
 
     def merge_segments(self) -> dict[str, Any]:
-        """Compact multi-segment postings: decode appended rows back to
-        triples, re-encode through the SAME sorted-run kernel (order-
-        preserving by doc_id), re-apply the salting plan from the refreshed
-        terms table. One job; snapshot-swapped by the manifest, so readers
+        """Compact multi-segment postings WITHOUT touching the corpus or
+        triples: decode the appended posting rows back to triples rows in
+        executors (O(postings bytes) input), then re-encode through the
+        shared sorted-run kernel, re-applying the salting plan from the
+        current terms table. Snapshot-swapped by the manifest, so readers
         never see a half-merged index."""
         spark, store, cfg = self.spark, self.store, self.cfg
         t0 = time.time()
-        triples = store.read_table(spark, "triples")
         stats = store.read_table(spark, "stats").collect()[0]
         terms = store.read_table(spark, "terms")
-        hot = terms.filter(F.col("n_salts") > 1).select("term", "n_salts")
-        salted = (
-            triples.join(F.broadcast(hot), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("n_salts").isNotNull(),
-                    F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_salts")),
-                )
-                .otherwise(F.lit(0))
-                .cast(IntegerType()),
-            )
-            .drop("n_salts")
+        postings = store.read_table(spark, "postings").select(
+            "term", "doc_ids", "tfs", "doclens"
         )
-        postings = (
-            salted.repartition(cfg.shuffle_partitions, "term", "salt")
-            .mapInPandas(
-                _encode_partition(cfg, float(stats["avgdl"])),
-                schema=POSTINGS_SCHEMA,
-            )
-            .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
-            .repartition(cfg.n_buckets, "bucket")
+        decoded = postings.mapInPandas(
+            _decode_rows_to_triples, schema=TRIPLES_SCHEMA
         )
-        store.write_table(postings, "postings", partition_by=["bucket"])
+        merged = encode_postings(decoded, terms, cfg, float(stats["avgdl"]))
+        store.write_table(merged, "postings", partition_by=["bucket"])
         rec = store.log_metrics("merge", sec=round(time.time() - t0, 3))
         return rec
 

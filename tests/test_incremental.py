@@ -93,3 +93,117 @@ def test_streaming_ingest(spark, tmp_path):
     q2.awaitTermination(300)
     assert store.read_table(spark, "docs").count() == 120
     _assert_matches_oracle(spark, store)
+
+
+def _drop_table_from_manifest(store, table):
+    with store._commit_lock():
+        m = store.manifest()
+        m["tables"].pop(table, None)
+        store._commit_manifest(m)
+
+
+def test_append_is_o_increment(spark, tmp_path):
+    """The appender must never read the existing triples/docs/postings:
+    drop them from the manifest and append — only paths it actually reads
+    (terms, stats via totals) remain. Queries still match the full-corpus
+    oracle, proving the merged terms/stats are exact."""
+    store = IndexStore(str(tmp_path), "oinc")
+    IndexBuilder(spark, store, CFG).build(synthesize_corpus(spark, 100, partitions=2))
+    inc = IncrementalIndexer(spark, store, CFG)
+
+    # simulate the 100 TB situation: the existing bulk tables are too big
+    # to rescan — make any read of them an error
+    _drop_table_from_manifest(store, "triples")
+    _drop_table_from_manifest(store, "docs")
+    more = synthesize_corpus(spark, 50, partitions=2, seed=5).withColumn(
+        "path", F.concat(F.lit("inc/"), F.col("path"))
+    )
+    inc.append_increment(more)
+
+    # stats advanced exactly (running totals, no rescan)
+    st = store.read_table(spark, "stats").collect()[0]
+    assert st["n_docs"] == 150
+    # terms table df equals a fresh aggregation over all triples
+    # (rebuild the triples view from the two ingested segments)
+    from excelastic_spark.tokenizer import tokenize_triples
+
+    fresh = (
+        tokenize_triples(store.read_table(spark, "ingested"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .toPandas()
+        .set_index("term")["df"]
+    )
+    got = (
+        store.read_table(spark, "terms")
+        .select("term", "df")
+        .toPandas()
+        .set_index("term")["df"]
+    )
+    assert got.sort_index().equals(fresh.sort_index())
+    _assert_matches_oracle(spark, store)
+
+
+def test_merge_reads_only_postings(spark, tmp_path):
+    """Segment merge is O(postings): it must succeed with the triples table
+    gone, compact to one row per (term, salt), and leave query results
+    bit-identical."""
+    store = IndexStore(str(tmp_path), "mseg")
+    IndexBuilder(spark, store, CFG).build(synthesize_corpus(spark, 100, partitions=2))
+    inc = IncrementalIndexer(spark, store, CFG)
+    for seed in (7, 8):
+        more = synthesize_corpus(spark, 40, partitions=1, seed=seed).withColumn(
+            "path", F.concat(F.lit(f"s{seed}/"), F.col("path"))
+        )
+        inc.append_increment(more)
+
+    qe = QueryEngine(spark, store, CFG)
+    before = {
+        (tuple(t), m): qe.search(t, m, k).to_pandas() for t, m, k in QS
+    }
+    multi = (
+        store.read_table(spark, "postings")
+        .groupBy("term", "salt")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert multi > 0  # appends really did create multi-segment terms
+
+    _drop_table_from_manifest(store, "triples")
+    inc.merge_segments()
+
+    compact = (
+        store.read_table(spark, "postings")
+        .groupBy("term", "salt")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert compact == 0  # one row per (term, salt) after merge
+    qe2 = QueryEngine(spark, store, CFG)
+    for (t, m), exp in before.items():
+        got = qe2.search(list(t), m, 10).to_pandas()
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert np.array_equal(got["score"].to_numpy(), exp["score"].to_numpy())
+
+
+def test_append_pre_ingested_disjointness_guard(spark, tmp_path):
+    store = IndexStore(str(tmp_path), "pi")
+    corpus = synthesize_corpus(spark, 60, partitions=2)
+    from excelastic_spark.corpus import ingest_corpus
+
+    ingested = ingest_corpus(corpus)
+    first = ingested.filter(F.col("doc_id") < 40)
+    rest = ingested.filter(F.col("doc_id") >= 40)
+    IndexBuilder(spark, store, CFG).build(first, pre_ingested=True)
+    inc = IncrementalIndexer(spark, store, CFG)
+    inc.append_increment(rest, pre_ingested=True)
+    assert store.read_table(spark, "docs").count() == 60
+    _assert_matches_oracle(spark, store)
+    # overlapping ids must be rejected BEFORE any segment write
+    with pytest.raises(ValueError):
+        inc.append_increment(
+            ingested.filter(F.col("doc_id") < 5), pre_ingested=True
+        )
+    assert store.read_table(spark, "docs").count() == 60  # nothing appended
