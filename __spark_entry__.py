@@ -220,11 +220,17 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_duplicate_groups(_docs(spark, sf_dir), "text", "doc_id")
 
 
+# hot-shingle df cap used by the gate (10% of the sf0.01 documents table);
+# the oracle SQL applies the identical HAVING cap
+SHINGLE_CAP = 50
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from excelastic_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", k=3, threshold=0.1
+        _docs(spark, sf_dir), "text", "doc_id", k=3, threshold=0.1,
+        max_shingle_df=SHINGLE_CAP,
     )
 
 
@@ -232,14 +238,19 @@ def _q_minhash(spark, sf_dir):
     from excelastic_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4
+        _docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4,
+        hash_family="md5", max_shingle_df=SHINGLE_CAP,
     )
 
 
 def _q_simhash(spark, sf_dir):
     from excelastic_spark.functions.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=16)
+    return simhash_near_dups(
+        _docs(spark, sf_dir), "text", "doc_id", max_hamming=16
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -292,15 +303,297 @@ def _q_lsh_near_dup(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    from excelastic_spark.functions.multimodal import (
-        extract_features,
-        synthesize_media,
-    )
+    """Media table derived from the documents table (payload = utf-8 bytes
+    of text, kind cycled by id) so the decode/feature plumbing runs over
+    driver data AND DuckDB can re-derive n_bytes/sha from the same rows."""
+    from excelastic_spark.functions.multimodal import extract_features
 
-    media = synthesize_media(spark, n=64)
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
     return extract_features(media, dim=16).select(
         "media_id", "kind", "n_bytes", "payload_sha"
     )
+
+
+# --------------------------------------------------------------------------
+# ingest surface (spreadsheet/CSV/workbook) + index lifecycle gates
+
+_FILES_DIR = "/tmp/excelastic_entry_files"
+
+
+def _q_spreadsheet_typed(spark, sf_dir):
+    """orders -> xlsx (typed cells incl. date-styled serials) -> workbook
+    parse with the reference's ExcelParser semantics -> typed DataFrame.
+    The oracle re-derives the same rows straight from the parquet."""
+    from excelastic_spark.sources.spreadsheet import workbook_typed
+    from excelastic_spark.sources.workbook import write_xlsx
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    d = os.path.join(_FILES_DIR, os.path.basename(os.path.realpath(sf_dir)))
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "orders.xlsx")
+    write_xlsx(
+        path,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        [
+            [
+                int(r["o_orderkey"]),
+                str(r["o_orderstatus"]),
+                float(r["o_totalprice"]),
+                r["o_orderdate"],
+            ]
+            for r in rows
+        ],
+        offset=3,  # non-trivial header offset, the reference's core knob
+    )
+    parsed = workbook_typed(spark, path, offset=3)
+    return parsed.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e6"),
+        "o_orderdate",
+    )
+
+
+def _q_csv_typed(spark, sf_dir):
+    """nation -> CSV at a header offset -> distributed read_typed (the
+    no-global-window scan) -> typed columns."""
+    from excelastic_spark.sources.spreadsheet import read_typed
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    d = os.path.join(_FILES_DIR, os.path.basename(os.path.realpath(sf_dir)))
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "nation.csv")
+    with open(path, "w") as f:
+        f.write("generated by excelastic_spark gate,,\n")
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        for r in rows:
+            f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+    return read_typed(spark, path, offset=2)
+
+
+_LIFECYCLE: dict[str, set[str]] = {}
+
+
+def _appended_engine(spark: SparkSession, sf_dir: str, merged: bool) -> QueryEngine:
+    """Index built on the first half of documents, then the second half
+    APPENDED (B11 lifecycle); ``merged`` additionally compacts segments
+    (B3). Queries must equal the full-corpus oracle either way."""
+    from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+    key = os.path.realpath(sf_dir)
+    done = _LIFECYCLE.setdefault(key, set())
+    store = IndexStore(_WAREHOUSE, os.path.basename(key) + "_append")
+    corpus = documents_as_corpus(spark, sf_dir)
+    if "appended" not in done:
+        n = corpus.count()
+        half = n // 2
+        IndexBuilder(spark, store, ENTRY_CFG).build(
+            corpus.filter(F.col("doc_id") < half), pre_ingested=True
+        )
+        inc = IncrementalIndexer(spark, store, ENTRY_CFG)
+        inc.append_increment(
+            corpus.filter(F.col("doc_id") >= half), pre_ingested=True
+        )
+        done.add("appended")
+    if merged and "merged" not in done:
+        IncrementalIndexer(spark, store, ENTRY_CFG).merge_segments()
+        done.add("merged")
+    return QueryEngine(spark, store, ENTRY_CFG)
+
+
+def _q_index_append(spark, sf_dir):
+    qe = _appended_engine(spark, sf_dir, merged=False)
+    pdf = qe.search(["table", "query"], mode="or", k=110).to_pandas()
+    return _rerank_e6(spark, pdf, 10)
+
+
+def _q_index_merge(spark, sf_dir):
+    qe = _appended_engine(spark, sf_dir, merged=True)
+    pdf = qe.search(["scan", "value", "stream"], mode="or", k=115).to_pandas()
+    return _rerank_e6(spark, pdf, 15)
+
+
+def _q_ingest_transform(spark, sf_dir):
+    """B10: build with an ingest transform (filter to lang='en') and return
+    the resulting term stats; the oracle applies the same predicate in SQL."""
+    key = os.path.realpath(sf_dir)
+    store = IndexStore(_WAREHOUSE, os.path.basename(key) + "_xform")
+    corpus = documents_as_corpus(spark, sf_dir)
+    IndexBuilder(spark, store, ENTRY_CFG).build(
+        corpus,
+        pre_ingested=True,
+        transform=lambda df: df.filter(F.col("lang") == "en"),
+    )
+    return store.read_table(spark, "terms").select("term", "df", "cf")
+
+
+# --------------------------------------------------------------------------
+# oracle SQL builders for the sketch operators (portable md5-60bit hashing —
+# the same expressions the Spark side computes via F.conv(md5))
+
+
+def _md5_60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, u.s
+  FROM toks,
+       unnest(list_transform(range(greatest(len(t) - 2, 0)),
+              i -> array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS u(s)
+),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {cap}),
+kept AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot))
+"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, cap: int = 0) -> str:
+    rows = num_hashes // bands
+    hmins = ",\n    ".join(
+        "min(" + _md5_60(f"concat('{j}|', s)") + f") AS h{j}"
+        for j in range(num_hashes)
+    )
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _md5_60(
+            "concat_ws(',', "
+            + ", ".join(f"h{b * rows + r}" for r in range(rows))
+            + ")"
+        )
+        + " AS bhash FROM sig"
+        for b in range(bands)
+    )
+    shingles = _SHINGLES_CTE.format(tok=TOK_SQL, cap=cap)
+    return f"""
+WITH {shingles},
+sig AS (
+  SELECT doc_id,
+    {hmins}
+  FROM kept GROUP BY doc_id
+),
+banded AS (
+  {band_sel}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _simhash_sql(max_hamming: int = 16) -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS v{i}"
+        for i in range(60)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9_]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, {_md5_60('term')} AS hv FROM tf),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp_sum} AS fp FROM votes),
+banded AS (
+  SELECT doc_id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS key
+  FROM fp, (VALUES (0), (1), (2), (3)) AS b(band)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+def _lsh_near_dup_sql(
+    threshold: float = 0.4, n_planes: int = 8, n_tables: int = 6,
+    seed: int = 42, dim: int = 64,
+) -> str:
+    from excelastic_spark.functions.similarity import lsh_planes
+
+    rows = []
+    for t, planes in enumerate(lsh_planes(n_planes, n_tables, seed, dim)):
+        for p in range(n_planes):
+            csv = ",".join(repr(float(v)) for v in planes[p])
+            rows.append(f"({t}, {p}, '{csv}')")
+    values = ",\n  ".join(rows)
+    thr = int(threshold * 1e6)
+    dot_ab = (
+        "sum(CAST(a.embedding[CAST(i + 1 AS INT)] AS DOUBLE)"
+        " * CAST(b.embedding[CAST(i + 1 AS INT)] AS DOUBLE))"
+    )
+    nrm = (
+        "sqrt(sum(CAST({v}.embedding[CAST(i + 1 AS INT)] AS DOUBLE)"
+        " * CAST({v}.embedding[CAST(i + 1 AS INT)] AS DOUBLE)))"
+    )
+    return f"""
+WITH planes(tbl, p, s) AS (VALUES
+  {values}
+),
+pv AS (
+  SELECT tbl, p,
+         list_transform(string_split(s, ','), x -> CAST(x AS DOUBLE)) AS vec
+  FROM planes
+),
+dots AS (
+  SELECT e.vec_id, pl.tbl, pl.p,
+    sum(CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        * pl.vec[CAST(i + 1 AS INT)]) AS dot
+  FROM embeddings e CROSS JOIN pv pl, range({dim}) r(i)
+  GROUP BY 1, 2, 3
+),
+keys AS (
+  SELECT vec_id, tbl,
+    sum(CASE WHEN dot > 0 THEN (1::BIGINT << ({n_planes - 1} - p))
+        ELSE 0::BIGINT END) AS key
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+),
+cos AS (
+  SELECT c.id_a, c.id_b,
+    {dot_ab} / ({nrm.format(v='a')} * {nrm.format(v='b')}) AS cs
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b, range({dim}) r(i)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(floor(cs * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+FROM cos WHERE CAST(floor(cs * 1e6 + 0.5) AS BIGINT) >= {thr}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -338,13 +631,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _q_rolling_fp,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash,  # rows-only (xxhash64 not in DuckDB)
-        "simhash_near_dup": _q_simhash,  # rows-only
+        "minhash_lsh": _q_minhash,
+        "simhash_near_dup": _q_simhash,
         "embed_cosine_topk": _q_embed_topk,
         "ivf_topk": _q_ivf_topk,
         "embed_near_dup": _q_embed_near_dup,
-        "lsh_near_dup": _q_lsh_near_dup,  # rows-only (seeded planes)
-        "multimodal_features": _q_multimodal,  # rows-only (synth media input)
+        "lsh_near_dup": _q_lsh_near_dup,
+        "multimodal_features": _q_multimodal,
+        # --- ingest surface + index lifecycle ---
+        "spreadsheet_typed": _q_spreadsheet_typed,
+        "csv_typed": _q_csv_typed,
+        "index_append": _q_index_append,
+        "index_merge": _q_index_merge,
+        "ingest_transform": _q_ingest_transform,
     }
 
 
@@ -463,17 +762,11 @@ SELECT sha256(text) AS content_sha, count(*) AS n_dups, min(doc_id) AS keeper_id
 FROM documents GROUP BY sha256(text)
 """,
         "ngram_jaccard": f"""
-{tok_cte},
-sh AS (
-  SELECT DISTINCT doc_id, u.s
-  FROM toks,
-       unnest(list_transform(range(greatest(len(t) - 2, 0)),
-              i -> array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS u(s)
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+WITH {_SHINGLES_CTE.format(tok=TOK_SQL, cap=SHINGLE_CAP)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
@@ -482,6 +775,42 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(floor(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) * 1e6 + 0.5) AS BIGINT) >= 100000
+""",
+        "minhash_lsh": _minhash_sql(num_hashes=16, bands=4, cap=SHINGLE_CAP),
+        "simhash_near_dup": _simhash_sql(max_hamming=16),
+        "lsh_near_dup": _lsh_near_dup_sql(
+            threshold=0.4, n_planes=8, n_tables=6
+        ),
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  sha256(text) AS payload_sha
+FROM documents
+""",
+        "spreadsheet_typed": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderstatus,
+       CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS price_e6,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS o_orderdate
+FROM orders WHERE o_orderkey < 1000
+""",
+        "csv_typed": """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+""",
+        "index_append": _bm25_sql(["table", "query"], "or", 10),
+        "index_merge": _bm25_sql(["scan", "value", "stream"], "or", 15),
+        "ingest_transform": """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9_]+')) AS t(term)
+  WHERE t.term <> '' AND d.lang = 'en'
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
 """,
         "embed_cosine_topk": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),

@@ -13,8 +13,23 @@ CSVParser.setMaxMapSize(32) (src/test/java/com/codingchili/TestParser.java:69-76
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from dataclasses import dataclass, field, replace
+
+# default config-file name, like the reference's working-dir lookup
+# (Configuration.java:21 CONFIGURATION_JSON)
+CONFIGURATION_JSON = "configuration.json"
+
+
+def generate_default_index(today=None) -> str:
+    """Reference default-index rule: MMMM-yyyy lowercased
+    (Configuration.java:55-57 generateDefaultIndex)."""
+    import datetime
+
+    today = today or datetime.date.today()
+    return today.strftime("%B-%Y").lower()
 
 
 @dataclass(frozen=True)
@@ -53,8 +68,42 @@ class EngineConfig:
         )
     )
 
+    # --- deployment (Configuration.java analogs) ---
+    # index name used when the caller gives none; falls back to the
+    # reference's MMMM-yyyy rule (Configuration.java:39,55-57)
+    default_index: str | None = None
+    # refuse destructive clears when locked (Configuration.java index_lock)
+    index_lock: bool = False
+
     def with_overrides(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
+
+    @classmethod
+    def load_file(
+        cls, path: str | None = None, base: "EngineConfig | None" = None
+    ) -> "EngineConfig":
+        """JSON config-file loader (Configuration.java:31-52): keys override
+        field defaults; a MISSING default-named file silently yields the
+        defaults (the reference logs and continues, Configuration.java:44-50)
+        but an explicitly-passed path must exist. Unknown keys are ignored,
+        like JsonObject.get* with defaults."""
+        cfg = base or cls()
+        p = path or CONFIGURATION_JSON
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except FileNotFoundError:
+            if path is not None:
+                raise
+            return cfg
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cfg.with_overrides(
+            **{k: v for k, v in data.items() if k in known}
+        )
+
+    def resolve_index_name(self, name: str | None) -> str:
+        """CLI name > config default_index > MMMM-yyyy date rule."""
+        return name or self.default_index or generate_default_index()
 
     # layout-relevant fields persisted with the index (catalog.save_config)
     _LAYOUT_FIELDS = (

@@ -63,16 +63,89 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+def md5_60bit(col: Column, prefix: str = "") -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
+    The DuckDB oracle computes the identical value with
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`` — same trick
+    simhash uses, so sketch pipelines are value-verifiable across engines."""
+    inp = F.concat(F.lit(prefix), col) if prefix else col
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+
+
+_SENTINEL = 1 << 62
+
+
+def _signature_over(
+    shingles: Column, num_hashes: int, hash_family: str
+) -> Column:
+    """Minhash signature over an already-built shingle array column.
+
+    Shape matters for correctness, not just speed: ONE transform emits the
+    full H-vector of hashes per shingle, and the mins fold via
+    aggregate + zip_with(least). The obvious alternative — H parallel
+    ``array_min(transform(...))`` expressions over the same shingle array —
+    returns WRONG values in Spark 4.1 when several structurally-similar
+    lambda subtrees share a projection (subexpression elimination mangles
+    the lambda bindings); single-lambda folds are unaffected. Null when the
+    doc has no shingles."""
+    if hash_family == "md5":
+        def hashes(s):
+            return F.array(
+                *[md5_60bit(s, prefix=f"{j}|") for j in range(num_hashes)]
+            )
+    else:
+        def hashes(s):
+            return F.array(
+                *[F.xxhash64(F.lit(j), s) for j in range(num_hashes)]
+            )
+
+    hashed = F.transform(shingles, hashes)
+    sig = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(_SENTINEL).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, k: int = 3, hash_family: str = "xx64"
+) -> Column:
     """H-element minhash signature: for seed j, min over shingles of
-    xxhash64(j, shingle). xxhash64 with a distinct first column per seed is
-    an independent-enough hash family for Jaccard sketching."""
-    sh = shingles_col(text, k)
-    mins = [
-        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-        for j in range(num_hashes)
-    ]
-    return F.array(*mins)
+    hash_j(shingle). ``hash_family``:
+
+    * ``'xx64'`` (default, fastest): xxhash64 with a distinct seed column
+      per j — the production path (one JVM hash per shingle per j).
+    * ``'md5'``: the 60-bit md5-derived family (seed folded into the input
+      as ``"<j>|"``), computable verbatim in ANSI SQL — used by the
+      correctness gate so DuckDB verifies signatures value-for-value.
+
+    Both are independent-enough families for Jaccard sketching (Broder
+    1997); the banding math is identical."""
+    return _signature_over(shingles_col(text, k), num_hashes, hash_family)
+
+
+def hot_shingles(
+    df: DataFrame,
+    text_col: str,
+    max_df: int,
+    k: int = 3,
+) -> list[str]:
+    """Shingles appearing in more than ``max_df`` docs — boilerplate. The
+    hot set is tiny by construction (df-capped, like build.py's hot-term
+    salting), so collecting it to the driver and broadcasting is the scale
+    pattern, NOT a collect of data-sized results."""
+    sh = df.select(
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
+    )
+    rows = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > max_df)
+        .select("shingle")
+        .collect()
+    )
+    return [r["shingle"] for r in rows]
 
 
 def minhash_lsh_candidates(
@@ -82,24 +155,56 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    hash_family: str = "xx64",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via banding:
     docs agreeing on ALL rows of >=1 band become candidates. With H=16, B=4
-    (r=4 rows/band) the S-curve threshold is ~ (1/4)^(1/4) ≈ 0.71 Jaccard."""
+    (r=4 rows/band) the S-curve threshold is ~ (1/4)^(1/4) ≈ 0.71 Jaccard.
+
+    ``max_shingle_df`` drops boilerplate shingles (df above the cap) from
+    every signature — without it a 100%-df boilerplate shingle drags every
+    doc's minhash toward the same value and floods the bands with
+    quadratically many candidate pairs (the shingle-skew guard VERDICT
+    called for; the oracle applies the same HAVING cap)."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, k).alias("sig")
-    ).filter(F.size("sig") > 0)
+    text = F.col(text_col)
+    shingle_arr = shingles_col(text, k)
+    if max_shingle_df is not None:
+        hot = hot_shingles(df, text_col, max_shingle_df, k)
+        if hot:
+            # drop the (tiny, df-capped) hot set from every shingle stream;
+            # the literal list folds into the plan like a broadcast
+            shingle_arr = F.filter(shingle_arr, lambda s: ~s.isin(*hot))
+    sig_col = _signature_over(shingle_arr, num_hashes, hash_family)
+    # docs with zero (surviving) shingles have all-null signatures; they
+    # cannot be near-dup candidates, so drop them (the oracle's unnested
+    # shingle stream drops them naturally)
+    sig = df.select(F.col(id_col), sig_col.alias("sig")).filter(
+        F.col("sig")[0].isNotNull()
+    )
+    if hash_family == "md5":
+        def bhash(b):
+            return md5_60bit(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+    else:
+        def bhash(b):
+            return F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows + r] for r in range(rows)]
-                        ).alias("bhash"),
+                        F.lit(b).alias("band"), bhash(b).alias("bhash")
                     )
                     for b in range(bands)
                 ]
@@ -168,8 +273,11 @@ def simhash_near_dups(
     """Near-dup pairs by simhash hamming distance. Candidate generation
     blocks on 16-bit bands of the fingerprint (Manku et al.: a pair within
     hamming d of a 64-bit print shares at least one of ceil(64/(d+1))-ish
-    bands exactly); verification = exact popcount."""
-    fp = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("fp"))
+    bands exactly); verification = exact popcount. Token-less docs are
+    excluded (their fingerprint is degenerate 0; exact dedup covers them)."""
+    fp = df.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("fp")
+    ).filter(F.size(tokens_col(F.col(text_col))) > 0)
     bands = 4
     width = 15  # 60-bit fingerprint -> 4 bands of 15 bits
     banded = fp.select(
@@ -213,12 +321,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard for every pair sharing >=1 shingle, via the
     inverted shingle index (shuffle keys are 64-bit shingle hashes, never
     text). Returns (id_a, id_b, inter, size_a, size_b, jaccard_e6) with
     jaccard >= threshold. This is the LSH verification step; identical SQL
-    runs in DuckDB as the oracle."""
+    runs in DuckDB as the oracle.
+
+    ``max_shingle_df`` caps boilerplate: shingles with df above the cap are
+    dropped from the universe (both intersection AND set sizes, so the
+    Jaccard stays a true Jaccard over the filtered universe). Without it a
+    shingle present in most docs makes the inverted join quadratic — the
+    same skew build.py salts hot terms for. The hot set is df-capped-small,
+    broadcast as a left-anti join side."""
     sh = df.select(
         F.col(id_col),
         F.explode(
@@ -227,6 +343,14 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     ).distinct()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

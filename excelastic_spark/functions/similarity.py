@@ -150,6 +150,17 @@ def embedding_near_dup_pairs(
     return out.filter(F.col("cosine_e6") >= int(threshold * 1e6))
 
 
+def lsh_planes(
+    n_planes: int = 16, n_tables: int = 4, seed: int = 42, dim: int = 64
+) -> list[np.ndarray]:
+    """Deterministic hyperplane tables: one (n_planes, dim) matrix per
+    table, drawn sequentially from a single seeded generator. The Spark
+    path folds these in as literals; the correctness-gate oracle embeds the
+    SAME values in its SQL, so both engines use identical planes."""
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -163,11 +174,10 @@ def lsh_near_dup_pairs(
     """Scale path for near-dup pairs: random-hyperplane LSH (Charikar 2002).
     n_tables independent sign-bit sketches of n_planes bits; docs sharing a
     full sketch in >=1 table become candidates; exact cosine verifies.
-    Planes are seeded -> deterministic across runs and cluster sizes."""
-    rng = np.random.default_rng(seed)
+    Planes are seeded -> deterministic across runs and cluster sizes (and
+    re-derivable by the SQL oracle via :func:`lsh_planes`)."""
     keys = []
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
+    for t, planes in enumerate(lsh_planes(n_planes, n_tables, seed, dim)):
         bits = None
         for p in range(n_planes):
             bit = F.when(dot_col(F.col(vec_col), _lit_vec(planes[p])) > 0, 1).otherwise(0)

@@ -21,8 +21,17 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="index.py", description=__doc__)
-    p.add_argument("--warehouse", default="/tmp/excelastic_warehouse")
-    p.add_argument("--name", default="default")
+    p.add_argument("--warehouse", default=None)
+    p.add_argument(
+        "--name", default=None,
+        help="index name; defaults to the config file's default_index, "
+        "else the reference's MMMM-yyyy rule (Configuration.java:55-57)",
+    )
+    p.add_argument(
+        "--config", default=None,
+        help="JSON config file (Configuration.java:31-52 analog); "
+        "./configuration.json is picked up automatically if present",
+    )
     p.add_argument("--master", default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -75,7 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     from excelastic_spark.config import EngineConfig
     from excelastic_spark.session import get_spark
 
-    cfg = EngineConfig(warehouse=args.warehouse)
+    cfg = EngineConfig.load_file(args.config)
+    if args.warehouse:
+        cfg = cfg.with_overrides(warehouse=args.warehouse)
     if args.cmd in ("build", "shard-plan"):
         over = {}
         if args.salt_threshold:
@@ -85,12 +96,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.buckets:
             over["n_buckets"] = args.buckets
         cfg = cfg.with_overrides(**over)
+    name = cfg.resolve_index_name(args.name)
     spark = get_spark(app_name=f"excelastic-{args.cmd}", master=args.master, config=cfg)
-    store = IndexStore(args.warehouse, args.name)
+    store = IndexStore(cfg.warehouse, name)
 
     if args.cmd == "build":
         from excelastic_spark.build import IndexBuilder
 
+        if args.clear and cfg.index_lock:
+            print(
+                "refusing --clear: index_lock is set in the configuration "
+                "(reference Configuration.java index_lock)",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 1
         corpus = spark.read.parquet(args.corpus)
         metrics = IndexBuilder(spark, store, cfg).build(
             corpus, clear=args.clear, pre_ingested=args.pre_ingested

@@ -53,3 +53,42 @@ def test_stage_fingerprint_mismatch(tmp_path):
     store.commit_stage("build", "fp-a", n=1)
     assert store.stage_done("build", "fp-a")
     assert not store.stage_done("build", "fp-b")  # input changed -> rerun
+
+
+def test_config_file_loader(tmp_path):
+    """Configuration.java:31-52 analog: JSON overrides, missing-default-file
+    tolerance, default-index rule."""
+    import datetime
+    import json
+
+    import pytest
+
+    from excelastic_spark.config import EngineConfig, generate_default_index
+
+    p = tmp_path / "configuration.json"
+    p.write_text(json.dumps({
+        "k1": 0.9, "n_buckets": 4, "default_index": "code_idx",
+        "index_lock": True, "unknown_key": 123,
+    }))
+    cfg = EngineConfig.load_file(str(p))
+    assert cfg.k1 == 0.9 and cfg.n_buckets == 4
+    assert cfg.default_index == "code_idx" and cfg.index_lock is True
+    assert cfg.block_size == EngineConfig().block_size  # untouched default
+    assert cfg.resolve_index_name(None) == "code_idx"
+    assert cfg.resolve_index_name("cli_wins") == "cli_wins"
+
+    # missing default-named file -> defaults (reference logs + continues)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path / "..")
+    try:
+        assert EngineConfig.load_file(None).k1 == EngineConfig().k1
+    finally:
+        os.chdir(cwd)
+    # explicitly named missing file -> error
+    with pytest.raises(FileNotFoundError):
+        EngineConfig.load_file(str(tmp_path / "nope.json"))
+
+    # MMMM-yyyy rule (Configuration.java:55-57)
+    assert generate_default_index(datetime.date(2018, 3, 5)) == "march-2018"
+    assert EngineConfig().resolve_index_name(None) == generate_default_index()

@@ -175,3 +175,86 @@ def test_multimodal_plumbing(spark):
     # real decoder is an explicit stub
     with pytest.raises(Exception):
         extract_features(media, dim=8, decoder="real").collect()
+
+
+def test_shingle_df_cap_bounds_boilerplate(spark):
+    """A shingle present in EVERY doc (license-header boilerplate) must not
+    create quadratic candidate pairs once capped; pairs driven by below-cap
+    shingles are unchanged (VERDICT #5 done-criteria)."""
+    from excelastic_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "copyright license header reserved "
+    rows = [(i, boiler + f"unique{i} body{i} text{i} tail{i}") for i in range(30)]
+    # two genuinely near-dup docs sharing non-boilerplate shingles
+    rows += [
+        (100, boiler + "alpha beta gamma delta epsilon zeta"),
+        (101, boiler + "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_shingle_df=10
+    ).toPandas()
+    # boilerplate-only pairs are gone: every doc pair shares the 4 header
+    # shingles, so uncapped output is quadratic (>450 pairs)
+    uncapped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.05
+    ).toPandas()
+    assert len(uncapped) > 450
+    assert len(capped) < 10
+    # the real near-dup pair survives with its filtered-universe jaccard
+    hit = capped[(capped.id_a == 100) & (capped.id_b == 101)]
+    assert len(hit) == 1
+    # shared non-boiler shingles: 'alpha beta gamma','beta gamma delta',
+    # 'gamma delta epsilon' = 3; sizes: each doc has 4 non-boiler + 2
+    # bridging... verify against an explicit python recount
+    assert int(hit.iloc[0]["inter"]) >= 3
+
+
+def test_minhash_md5_family_matches_python_oracle(spark):
+    """md5 hash family: signatures must equal a driver-side recomputation
+    (the portability property the DuckDB gate relies on)."""
+    import hashlib
+    import re
+
+    from excelastic_spark.functions.dedup import minhash_signature
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "pack my box with five dozen liquor jugs right now"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(F.col("text"), 8, 3, "md5").alias("sig"),
+        ).collect()
+    }
+    for doc_id, text in texts:
+        toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+        sh = sorted({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+        exp = [
+            min(
+                int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            for j in range(8)
+        ]
+        assert got[doc_id] == exp, doc_id
+
+
+def test_minhash_capped_signature_consistent(spark):
+    from excelastic_spark.functions.dedup import minhash_lsh_candidates
+
+    boiler = "shared boiler plate line "
+    rows = [(i, boiler + f"doc{i} words here") for i in range(20)]
+    rows += [(50, boiler + "same same same body"), (51, boiler + "same same same body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=16, bands=4,
+        hash_family="md5", max_shingle_df=5,
+    ).toPandas()
+    got = set(zip(cand.id_a, cand.id_b))
+    assert (50, 51) in got  # identical bodies still pair after the cap
+    assert len(got) < 20  # boilerplate no longer pairs everything
