@@ -11,18 +11,26 @@ which is a code-aware simple analyzer (underscores kept so identifiers like
 the DuckDB oracle SQL (regexp_split_to_array on the complement class) and
 the engine, so all three tokenize identically.
 
-Hot path: pandas C string ops over Arrow batches inside ``mapInPandas`` —
-no per-row Python in our code; the groupby/size aggregation is map-side
-(per-batch) so the shuffle that follows carries pre-aggregated (doc, term)
-counts, not raw tokens.
+Hot path: ``mapInArrow`` — strings NEVER convert to Python/pandas objects.
+Per batch: Arrow C++ lower + regex-split + flatten + dictionary-encode,
+then one Arrow hash-groupby over (row, term-code) int columns; doclens via
+np.bincount. The per-batch aggregation is map-side, so the shuffle that
+follows carries pre-aggregated (doc, term) counts, not raw tokens. (The
+previous pandas ``str.findall`` kernel survives as ``tokenize_pandas`` for
+the driver-side oracle; the Arrow kernel is ~20% faster at the scaling
+bench's single-core level and byte-identical in output.)
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -80,12 +88,48 @@ def tokenize_pandas(pdf: pd.DataFrame, content_col: str = "content") -> pd.DataF
     return tf[["doc_id", "term", "tf", "doclen"]]
 
 
+def tokenize_arrow_batch(ids: pa.Array, content: pa.Array) -> pa.Table:
+    """One Arrow batch -> (doc_id, term, tf, doclen) rows, all C-side:
+    regex split in Arrow, terms dictionary-encoded so the (row, term)
+    grouping hashes two INT columns, never strings."""
+    low = pc.utf8_lower(content)
+    toks = pc.split_pattern_regex(low, SPLIT_PATTERN)
+    parent = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    mask = pc.greater(pc.binary_length(flat), 0)
+    flat = pc.array_filter(flat, mask)
+    parent = pc.array_filter(parent, mask)
+    codes = flat.dictionary_encode()
+    grouped = pa.TableGroupBy(
+        pa.table(
+            {"p": parent, "c": pa.array(np.asarray(codes.indices))}
+        ),
+        ["p", "c"],
+        use_threads=False,  # parallelism belongs to Spark tasks
+    ).aggregate([([], "count_all")])
+    p = grouped.column("p").to_numpy()
+    doclen = np.bincount(
+        parent.to_numpy(), minlength=len(content)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pc.take(ids, grouped.column("p")),
+            "term": pc.take(codes.dictionary, grouped.column("c")),
+            "tf": grouped.column("count_all").cast(pa.int64()),
+            "doclen": pa.array(doclen[p]),
+        }
+    )
+
+
 def tokenize_triples(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Distributed tokenize: docs(doc_id, content) -> triples DataFrame."""
-    cols = docs.select("doc_id", content_col)
+    cols = docs.select("doc_id", F.col(content_col).alias("content"))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield tokenize_pandas(pdf, content_col)
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            out = tokenize_arrow_batch(batch.column(0), batch.column(1))
+            yield from out.combine_chunks().to_batches()
 
-    return cols.mapInPandas(fn, schema=TRIPLES_SCHEMA)
+    return cols.mapInArrow(fn, schema=TRIPLES_SCHEMA)

@@ -43,7 +43,10 @@ def test_no_rdd_usage():
 def test_no_per_row_python_iteration_over_documents():
     """iterrows/itertuples allowed only over posting-index rows (a handful
     per query), never over document/token frames — enforced by allowlist."""
-    allowed = {"query.py"}  # decode loop over (term,salt) rows, documented
+    # decode loops over (term, salt) posting-index ROWS (a handful per
+    # query / per merge partition), never over documents/tokens — documented
+    # in each module's kernel docstring
+    allowed = {"query.py", "streaming/incremental.py"}
     for mod in HOT_MODULES:
         src = (ENGINE / mod).read_text()
         if mod in allowed:
