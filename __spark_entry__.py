@@ -401,19 +401,30 @@ def _appended_engine(spark: SparkSession, sf_dir: str, merged: bool) -> QueryEng
     done = _LIFECYCLE.setdefault(key, set())
     store = IndexStore(_WAREHOUSE, os.path.basename(key) + "_append")
     corpus = documents_as_corpus(spark, sf_dir)
+    # idempotent across PROCESSES, not just this cache: a fresh driver run
+    # over a pre-existing warehouse must not append a second increment
+    # (manifest stage entries play the role build()'s fingerprints play)
     if "appended" not in done:
-        n = corpus.count()
-        half = n // 2
-        IndexBuilder(spark, store, ENTRY_CFG).build(
-            corpus.filter(F.col("doc_id") < half), pre_ingested=True
-        )
-        inc = IncrementalIndexer(spark, store, ENTRY_CFG)
-        inc.append_increment(
-            corpus.filter(F.col("doc_id") >= half), pre_ingested=True
-        )
+        if not store.stage_done("gate_appended", "v1"):
+            if store.has_table("stats"):
+                # warehouse from an interrupted/older run without the
+                # marker: rebuild from scratch rather than guess its state
+                store.drop()
+            n = corpus.count()
+            half = n // 2
+            IndexBuilder(spark, store, ENTRY_CFG).build(
+                corpus.filter(F.col("doc_id") < half), pre_ingested=True
+            )
+            inc = IncrementalIndexer(spark, store, ENTRY_CFG)
+            inc.append_increment(
+                corpus.filter(F.col("doc_id") >= half), pre_ingested=True
+            )
+            store.commit_stage("gate_appended", "v1")
         done.add("appended")
     if merged and "merged" not in done:
-        IncrementalIndexer(spark, store, ENTRY_CFG).merge_segments()
+        if not store.stage_done("gate_merged", "v1"):
+            IncrementalIndexer(spark, store, ENTRY_CFG).merge_segments()
+            store.commit_stage("gate_merged", "v1")
         done.add("merged")
     return QueryEngine(spark, store, ENTRY_CFG)
 
