@@ -95,6 +95,58 @@ class IndexStore:
     def has_table(self, table: str) -> bool:
         return table in self.manifest()["tables"]
 
+    def stage_table(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write a snapshot dir WITHOUT committing it to the manifest.
+        Until :meth:`commit_snapshot` publishes the path, readers cannot see
+        it and a crash leaves the index exactly as before (the staged dir is
+        an orphan, removable by :meth:`vacuum`)."""
+        snap = f"snap-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, table, snap)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return path
+
+    def commit_snapshot(
+        self,
+        writes: list[tuple[str, str, str]],
+        stages: dict[str, dict[str, Any]] | None = None,
+    ) -> None:
+        """Publish staged table writes + stage entries in ONE atomic
+        manifest swap — the Iceberg multi-table-transaction analog. A
+        multi-table operation (append: new docs/triples/postings segments +
+        replaced terms/stats + advanced running totals) either becomes
+        visible in full or not at all; there is no window where collection
+        stats count docs whose postings never landed.
+
+        ``writes``: ``(table, staged_path, mode)`` with mode ``'overwrite'``
+        (Iceberg createOrReplace) or ``'append'`` (adds a snapshot dir that
+        readers union — segment-append, SURVEY.md §2B B3)."""
+        with self._commit_lock():
+            m = self.manifest()
+            for table, path, mode in writes:
+                if mode == "append" and table in m["tables"]:
+                    existing = m["tables"][table]
+                    paths = (
+                        existing if isinstance(existing, list) else [existing]
+                    )
+                    m["tables"][table] = paths + [path]
+                else:
+                    m["tables"][table] = path
+                m["snapshots"].append(
+                    {"table": table, "path": path, "ts": time.time(),
+                     "mode": mode}
+                )
+            for stage, entry in (stages or {}).items():
+                m["stages"][stage] = {"ts": time.time(), **entry}
+            self._commit_manifest(m)
+
     def write_table(
         self,
         df: DataFrame,
@@ -102,29 +154,32 @@ class IndexStore:
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
     ) -> str:
-        """Write to a fresh snapshot dir, then commit by manifest swap.
-        ``mode='overwrite'`` is Iceberg createOrReplace; ``'append'`` adds a
-        second snapshot dir that readers union (segment-append, merged by
-        the merge job — SURVEY.md §2B B3)."""
-        snap = f"snap-{uuid.uuid4().hex[:12]}"
-        path = os.path.join(self.root, table, snap)
-        w = df.write.mode("errorifexists")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        with self._commit_lock():
-            m = self.manifest()
-            if mode == "append" and table in m["tables"]:
-                existing = m["tables"][table]
-                paths = existing if isinstance(existing, list) else [existing]
-                m["tables"][table] = paths + [path]
-            else:
-                m["tables"][table] = path
-            m["snapshots"].append(
-                {"table": table, "path": path, "ts": time.time(), "mode": mode}
-            )
-            self._commit_manifest(m)
+        """Write to a fresh snapshot dir, then commit by manifest swap —
+        stage + single-table commit_snapshot."""
+        path = self.stage_table(df, table, partition_by)
+        self.commit_snapshot([(table, path, mode)])
         return path
+
+    def vacuum(self) -> list[str]:
+        """Remove snapshot dirs not referenced by the manifest (orphans from
+        crashed multi-table transactions). Returns the removed paths."""
+        import shutil
+
+        m = self.manifest()
+        live: set[str] = set()
+        for loc in m["tables"].values():
+            live.update(loc if isinstance(loc, list) else [loc])
+        removed = []
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for snap in os.listdir(tdir):
+                p = os.path.join(tdir, snap)
+                if snap.startswith("snap-") and p not in live:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+        return removed
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
         loc = self.table_path(table)

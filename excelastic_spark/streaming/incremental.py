@@ -136,7 +136,16 @@ class IncrementalIndexer:
 
         ``pre_ingested``: increment already carries doc_id + sha256; its
         doc_ids must all exceed the index's current max (doc-disjoint
-        segments are what make append/merge/query correct)."""
+        segments are what make append/merge/query correct).
+
+        Crash safety: every table write is STAGED (snapshot dirs invisible
+        to readers) and the whole append publishes in ONE manifest swap
+        (catalog.commit_snapshot) — segments, merged terms, advanced stats
+        and the running totals become visible together or not at all. A
+        crash mid-append leaves the index untouched (plus orphan dirs that
+        ``store.vacuum()`` reclaims), so the SAME append can simply be
+        retried: totals never advanced, so the doc_id disjointness guard and
+        id assignment see the pre-append state."""
         spark, store, cfg = self.spark, self.store, self.cfg
         t0 = time.time()
         tot = self._totals()
@@ -157,12 +166,13 @@ class IncrementalIndexer:
             ingested = with_ids.withColumn(
                 "doc_id", (F.col("doc_id") + F.lit(next_id)).cast(LongType())
             ).withColumn("sha256", F.sha2(F.col("content"), 256))
-        seg_path = store.write_table(ingested, "ingested", mode="append")
+        writes: list[tuple[str, str, str]] = []
+        seg_path = store.stage_table(ingested, "ingested")
+        writes.append(("ingested", seg_path, "append"))
         seg = spark.read.parquet(seg_path)
 
-        tri_path = store.write_table(
-            tokenize_triples(seg), "triples", mode="append"
-        )
+        tri_path = store.stage_table(tokenize_triples(seg), "triples")
+        writes.append(("triples", tri_path, "append"))
         seg_triples = spark.read.parquet(tri_path)
 
         # segment agg: doc count / min id / total_tf in ONE pass over the
@@ -172,7 +182,7 @@ class IncrementalIndexer:
             "doc_id", "repo", "path", "commit", "lang", "sha256",
             F.coalesce("doclen", F.lit(0)).cast(LongType()).alias("doclen"),
         )
-        store.write_table(docs_out, "docs", mode="append")
+        writes.append(("docs", store.stage_table(docs_out, "docs"), "append"))
         seg_agg = seg.agg(
             F.count(F.lit(1)).alias("n"),
             F.min("doc_id").alias("min_id"),
@@ -196,11 +206,15 @@ class IncrementalIndexer:
             merged_raw = inc_terms
         merged = self._plan_salts(merged_raw)
         n_terms = merged.count()
-        store.write_table(
-            merged.repartition(cfg.n_buckets, "bucket"),
+        writes.append((
             "terms",
-            partition_by=["bucket"],
-        )
+            store.stage_table(
+                merged.repartition(cfg.n_buckets, "bucket"),
+                "terms",
+                partition_by=["bucket"],
+            ),
+            "overwrite",
+        ))
 
         # ---- stats from running totals (no index scan)
         n_docs = tot["n_docs"] + inc_docs
@@ -210,17 +224,30 @@ class IncrementalIndexer:
             [(n_docs, avgdl, n_terms, cfg.k1, cfg.b, cfg.block_size)],
             schema=STATS_SCHEMA,
         )
-        store.write_table(stats_df, "stats")
-        store.commit_stage(
-            "totals", "append", n_docs=n_docs, total_tf=total_tf,
-            max_doc_id=int(seg_agg["max_id"]) if inc_docs else tot["max_doc_id"],
-        )
+        writes.append(("stats", store.stage_table(stats_df, "stats"), "overwrite"))
 
         # ---- postings segment: same shared kernel; salting plan from the
         # MERGED terms (a term that just went hot salts its new segment)
         seg_postings = encode_postings(seg_triples, merged, cfg, avgdl)
-        store.write_table(
-            seg_postings, "postings", mode="append", partition_by=["bucket"]
+        writes.append((
+            "postings",
+            store.stage_table(seg_postings, "postings", partition_by=["bucket"]),
+            "append",
+        ))
+
+        # ---- single atomic publish: segments + terms + stats + totals
+        store.commit_snapshot(
+            writes,
+            stages={
+                "totals": {
+                    "fingerprint": "append",
+                    "n_docs": n_docs,
+                    "total_tf": total_tf,
+                    "max_doc_id": (
+                        int(seg_agg["max_id"]) if inc_docs else tot["max_doc_id"]
+                    ),
+                }
+            },
         )
         rec = self.store.log_metrics(
             "append", n_new_docs=inc_docs, new_tokens=inc_tf,

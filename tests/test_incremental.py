@@ -207,3 +207,55 @@ def test_append_pre_ingested_disjointness_guard(spark, tmp_path):
             ingested.filter(F.col("doc_id") < 5), pre_ingested=True
         )
     assert store.read_table(spark, "docs").count() == 60  # nothing appended
+
+
+def test_append_crash_before_commit_is_retryable(spark, tmp_path, monkeypatch):
+    """A crash anywhere inside append_increment (all writes are staged; the
+    single commit_snapshot publishes them) must leave the index EXACTLY as
+    before — stats/terms/totals unchanged — and a plain retry of the same
+    append must succeed and be oracle-exact. This is the failure VERDICT/
+    ADVICE r2 flagged: the old multi-commit ordering could persist advanced
+    collection stats for docs whose postings never landed."""
+    from excelastic_spark.catalog import IndexStore as Store
+
+    store = IndexStore(str(tmp_path), "crash")
+    IndexBuilder(spark, store, CFG).build(synthesize_corpus(spark, 60, partitions=2))
+    stats_before = store.read_table(spark, "stats").collect()[0].asDict()
+    terms_before = (
+        store.read_table(spark, "terms").select("term", "df").toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    inc = IncrementalIndexer(spark, store, CFG)
+    more = synthesize_corpus(spark, 40, partitions=2, seed=5).withColumn(
+        "path", F.concat(F.lit("inc/"), F.col("path"))
+    )
+
+    orig = Store.commit_snapshot
+
+    def boom(self, writes, stages=None):
+        raise RuntimeError("injected crash before the atomic publish")
+
+    monkeypatch.setattr(Store, "commit_snapshot", boom)
+    with pytest.raises(RuntimeError):
+        inc.append_increment(more)
+    monkeypatch.setattr(Store, "commit_snapshot", orig)
+
+    # nothing published: stats, terms, docs identical to pre-append state
+    assert store.read_table(spark, "docs").count() == 60
+    assert store.read_table(spark, "stats").collect()[0].asDict() == stats_before
+    terms_after = (
+        store.read_table(spark, "terms").select("term", "df").toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    assert terms_after.equals(terms_before)
+
+    # orphan staged dirs are reclaimable and harmless
+    removed = store.vacuum()
+    assert removed  # the crashed attempt left staged snapshots behind
+    _assert_matches_oracle(spark, store)
+
+    # the SAME append retries cleanly (totals never advanced)
+    inc.append_increment(more)
+    assert store.read_table(spark, "docs").count() == 100
+    assert store.read_table(spark, "stats").collect()[0]["n_docs"] == 100
+    _assert_matches_oracle(spark, store)
