@@ -367,6 +367,49 @@ def _q_spreadsheet_typed(spark, sf_dir):
     )
 
 
+def _q_xls_typed(spark, sf_dir):
+    """Same surface as spreadsheet_typed but through the BIFF8/OLE2 path
+    (sources/biff.py — the reference's HSSF branch, ExcelParser.java:80-81):
+    orders -> .xls (SST/LABELSST strings, date-styled NUMBER serials) ->
+    workbook parse -> typed DataFrame. Oracle identical to the xlsx gate."""
+    from excelastic_spark.sources.biff import write_xls
+    from excelastic_spark.sources.spreadsheet import workbook_typed
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    d = os.path.join(_FILES_DIR, os.path.basename(os.path.realpath(sf_dir)))
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "orders.xls")
+    write_xls(
+        path,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        [
+            [
+                int(r["o_orderkey"]),
+                str(r["o_orderstatus"]),
+                float(r["o_totalprice"]),
+                r["o_orderdate"],
+            ]
+            for r in rows
+        ],
+        offset=3,
+    )
+    parsed = workbook_typed(spark, path, offset=3)
+    return parsed.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e6"),
+        "o_orderdate",
+    )
+
+
 def _q_csv_typed(spark, sf_dir):
     """nation -> CSV at a header offset -> distributed read_typed (the
     no-global-window scan) -> typed columns."""
@@ -651,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         # --- ingest surface + index lifecycle ---
         "spreadsheet_typed": _q_spreadsheet_typed,
+        "xls_typed": _q_xls_typed,
         "csv_typed": _q_csv_typed,
         "index_append": _q_index_append,
         "index_merge": _q_index_merge,
@@ -801,6 +845,13 @@ SELECT doc_id AS media_id,
 FROM documents
 """,
         "spreadsheet_typed": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderstatus,
+       CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS price_e6,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS o_orderdate
+FROM orders WHERE o_orderkey < 1000
+""",
+        "xls_typed": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        o_orderstatus,
        CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS price_e6,

@@ -174,6 +174,7 @@ def read_typed(
         F.spark_partition_id().alias("_pid"),
         F.monotonically_increasing_id().alias("_mid"),
         F.input_file_block_start().alias("_bs"),
+        F.input_file_name().alias("_fn"),
     )
     parts = (
         idx.groupBy("_pid")
@@ -181,13 +182,30 @@ def read_typed(
             F.count(F.lit(1)).alias("n"),
             F.min("_mid").alias("m0"),
             F.min("_bs").alias("b0"),
+            F.min("_fn").alias("f0"),
+            F.countDistinct("_fn").alias("nf"),
+            F.countDistinct("_bs").alias("nb"),
         )
         .collect()
     )
-    # partitions ordered by their first byte offset in the file = line order
+    # The numbering below is only sound when every scan partition covers ONE
+    # contiguous byte range of ONE file. A dir/glob path (multiple files) or
+    # a bin-packed partition (several non-adjacent blocks) would silently
+    # misnumber rows — reject both explicitly rather than guess.
+    if len({r["f0"] for r in parts}) > 1 or any(r["nf"] > 1 for r in parts):
+        raise ParserException(
+            "read_typed expects a single CSV file (line numbers are "
+            "file-relative); got a multi-file scan — read files individually"
+        )
+    if any(r["nb"] > 1 for r in parts):
+        raise ParserException(
+            "read_typed scan packed multiple file blocks into one partition; "
+            "line-number recovery needs one contiguous block per partition"
+        )
+    # partitions keyed on (file, block_start) = line order
     offsets: dict[int, tuple[int, int]] = {}
     acc = 0
-    for r in sorted(parts, key=lambda r: r["b0"]):
+    for r in sorted(parts, key=lambda r: (r["f0"], r["b0"])):
         offsets[r["_pid"]] = (acc, r["m0"])
         acc += r["n"]
     base_map = F.create_map(
@@ -202,7 +220,9 @@ def read_typed(
     )
     header_row = idx.filter(F.col("_rn") == offset).collect()[0]
     names = _headers([header_row[c] or "" for c in raw.columns])
-    data = idx.filter(F.col("_rn") > offset).drop("_pid", "_mid", "_bs", "_rn")
+    data = idx.filter(F.col("_rn") > offset).drop(
+        "_pid", "_mid", "_bs", "_fn", "_rn"
+    )
     df = data.toDF(*names)
     # column-level inference: one aggregate pass computing match counts
     checks = []

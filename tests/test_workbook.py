@@ -235,3 +235,79 @@ def test_read_workbooks_distributed(spark, tmp_path):
 
     docs = [json.loads(r["doc"]) for r in rows]
     assert {d["k"] for d in docs} == {f"doc{i}_{j}" for i in range(3) for j in range(4)}
+
+
+def test_xls_corrupt_bytes_raise_parser_exception():
+    """Arbitrary corrupt/truncated xls byte streams must surface as the
+    documented ParserException (failParseInvalid contract), never raw
+    struct.error/IndexError (ADVICE r2)."""
+    from excelastic_spark.sources.spreadsheet import parse_workbook_bytes
+
+    with open(f"{REF}/test.xls", "rb") as f:
+        real = f.read()
+    corrupt = [
+        b"",
+        b"\x00" * 64,
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 40,  # header cut
+        real[: len(real) // 2],  # truncated mid-stream
+        real[:512] + bytes(256) * 4,  # valid header, garbage sectors
+        bytes(range(256)) * 8,
+    ]
+    for blob in corrupt:
+        with pytest.raises(ParserException):
+            parse_workbook_bytes(blob, ".xls", offset=5)
+
+
+def test_read_typed_rejects_multi_file_scan(spark, tmp_path):
+    """Line-number recovery is file-relative: a directory scan must be
+    rejected loudly, not silently misnumbered (ADVICE r2)."""
+    from excelastic_spark.sources.spreadsheet import read_typed
+
+    d = tmp_path / "many.csv"
+    d.mkdir()
+    for i in range(2):
+        (d / f"part{i}.csv").write_text("a,b\n1,2\n")
+    with pytest.raises(ParserException):
+        read_typed(spark, str(d), offset=1).collect()
+
+
+@pytest.mark.parametrize("sector_size", [512, 4096])
+def test_write_xls_roundtrip_matches_xlsx(tmp_path, sector_size):
+    """write_xls (BIFF8 in a CFB container) must parse back to the SAME
+    typed documents as write_xlsx on identical inputs — bool/str/int/float/
+    date-styled serials. sector_size=4096 emits a version-4 compound file,
+    whose sector offsets are (sect+1)*sector_size, not 512+sect*size
+    (ADVICE r2)."""
+    from excelastic_spark.sources.biff import parse_xls_rows, write_xls
+
+    hdrs = ["name", "flag", "integer", "float", "when"]
+    rows = [
+        ["test_0", False, "2", "0.5", dt.datetime(1998, 10, 3)],
+        ["quoted, comma", True, 7, 3.25, dt.date(2020, 2, 29)],
+        [None, None, 123456, -1.5, dt.datetime(2001, 1, 1, 12, 30, 15)],
+        # enough strings to force an SST CONTINUE split in bigger fixtures
+        ["s" * 200, True, 1, 1.0, dt.datetime(1999, 12, 31, 23, 59, 59)],
+    ]
+    px = str(tmp_path / "rt.xlsx")
+    pb = str(tmp_path / f"rt_{sector_size}.xls")
+    write_xlsx(px, hdrs, rows, offset=3)
+    write_xls(pb, hdrs, rows, offset=3, sector_size=sector_size)
+    with open(px, "rb") as f:
+        exp = parse_xlsx_rows(f.read(), offset=3)
+    with open(pb, "rb") as f:
+        got = parse_xls_rows(f.read(), offset=3)
+    assert got == exp
+
+
+def test_write_xls_sst_continue_split(tmp_path):
+    """A string table larger than one BIFF record must round-trip through
+    SST + CONTINUE records."""
+    from excelastic_spark.sources.biff import parse_xls_rows, write_xls
+
+    rows = [[f"string-{i:04d}-" + "x" * 60] for i in range(300)]
+    p = str(tmp_path / "sst.xls")
+    write_xls(p, ["col"], rows)
+    with open(p, "rb") as f:
+        headers, docs = parse_xls_rows(f.read(), offset=1)
+    assert headers == ["col"]
+    assert [d["col"] for d in docs] == [r[0] for r in rows]
