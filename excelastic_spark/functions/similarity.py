@@ -128,12 +128,35 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (id_a < id_b, cosine_e6 >= threshold).
-    Exact all-pairs — the verification step; candidate generation at scale
-    is :func:`lsh_near_dup_pairs`."""
+    """Embedding near-dup pairs (id_a < id_b, cosine_e6 >= threshold):
+    exact cosine verification applied to LSH bucket candidates — a
+    composition of :func:`lsh_candidate_pairs` + the exact filter, never an
+    all-pairs join. Candidate recall is probabilistic (raise ``n_tables`` /
+    lower ``n_planes`` to push it toward 1); every REPORTED pair is exact.
+    The O(n^2) all-pairs form lives only in the test-only oracle helper
+    :func:`all_pairs_cosine_pairs`."""
+    cand = lsh_candidate_pairs(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col
+    )
+    return _exact_verified(cand, threshold)
+
+
+def all_pairs_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TEST-ONLY oracle helper: exact all-pairs cosine (O(n^2) self-join).
+    Not part of the operator surface — use :func:`embedding_near_dup_pairs`
+    (LSH candidates + exact verify) for real workloads."""
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -161,9 +184,8 @@ def lsh_planes(
     return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
 
 
-def lsh_near_dup_pairs(
+def lsh_candidate_pairs(
     emb: DataFrame,
-    threshold: float = 0.95,
     n_planes: int = 16,
     n_tables: int = 4,
     seed: int = 42,
@@ -171,11 +193,12 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale path for near-dup pairs: random-hyperplane LSH (Charikar 2002).
+    """Candidate generation: random-hyperplane LSH (Charikar 2002).
     n_tables independent sign-bit sketches of n_planes bits; docs sharing a
-    full sketch in >=1 table become candidates; exact cosine verifies.
-    Planes are seeded -> deterministic across runs and cluster sizes (and
-    re-derivable by the SQL oracle via :func:`lsh_planes`)."""
+    full sketch in >=1 table become candidates. Planes are seeded ->
+    deterministic across runs and cluster sizes (and re-derivable by the
+    SQL oracle via :func:`lsh_planes`). Returns (id_a, id_b, va, vb) —
+    the only join is bucket-equi on (table, key), never all-pairs."""
     keys = []
     for t, planes in enumerate(lsh_planes(n_planes, n_tables, seed, dim)):
         bits = None
@@ -202,6 +225,12 @@ def lsh_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return cand
+
+
+def _exact_verified(cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine over candidate (id_a, id_b, va, vb) rows — the verify
+    step shared by every near-dup entry point."""
     out = cand.select(
         "id_a",
         "id_b",
@@ -210,3 +239,22 @@ def lsh_near_dup_pairs(
         .alias("cosine_e6"),
     )
     return out.filter(F.col("cosine_e6") >= int(threshold * 1e6))
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for near-dup pairs: LSH candidates + exact cosine verify
+    (same composition as :func:`embedding_near_dup_pairs`, tunable recall
+    knobs exposed)."""
+    cand = lsh_candidate_pairs(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col
+    )
+    return _exact_verified(cand, threshold)

@@ -70,6 +70,52 @@ def test_simhash_near_dups(docs):
     assert (0, 1) in pairset
 
 
+def test_simhash_bands_guarantee_recall_property():
+    """Pigeonhole property of the derived banding (Manku d+1 blocks): any
+    two 60-bit fingerprints within hamming d agree exactly on >= 1 block,
+    for every d — the contract VERDICT r2 #4 asked to enforce."""
+    from excelastic_spark.functions.dedup import simhash_bands
+
+    rng = np.random.default_rng(7)
+    for d in [0, 1, 3, 8, 16, 31, 59]:
+        blocks = simhash_bands(d)
+        assert sum(w for _, w in blocks) == 60
+        assert len(blocks) == d + 1
+        for _ in range(200):
+            fp = int(rng.integers(0, 1 << 60))
+            flips = rng.choice(60, size=int(rng.integers(0, d + 1)), replace=False)
+            fp2 = fp
+            for bit in flips:
+                fp2 ^= 1 << int(bit)
+            assert any(
+                (fp >> s) & ((1 << w) - 1) == (fp2 >> s) & ((1 << w) - 1)
+                for s, w in blocks
+            ), (d, len(flips))
+
+
+def test_simhash_near_dups_recall_is_exact(docs):
+    """End-to-end: the banded operator returns EXACTLY the brute-force
+    hamming<=d truth over the fingerprints (recall 1.0 within the requested
+    radius; verification already guarantees precision)."""
+    from excelastic_spark.functions.dedup import simhash64, simhash_near_dups
+
+    fp = (
+        docs.filter(F.col("text") != "")
+        .select("doc_id", simhash64(F.col("text")).alias("fp"))
+        .toPandas()
+    )
+    fps = dict(zip(fp.doc_id, fp.fp))
+    for d in [3, 10, 16]:
+        truth = {
+            (a, b)
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= d
+        }
+        got = simhash_near_dups(docs, "text", "doc_id", max_hamming=d).toPandas()
+        assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == truth, d
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.default_rng(3)
@@ -110,11 +156,12 @@ def test_ivf_matches_brute_when_probing_right_cell(spark, emb):
 
 def test_embedding_near_dup_and_lsh(spark, emb):
     from excelastic_spark.functions.similarity import (
+        all_pairs_cosine_pairs,
         embedding_near_dup_pairs,
         lsh_near_dup_pairs,
     )
 
-    exact = embedding_near_dup_pairs(emb, threshold=0.99).toPandas()
+    exact = all_pairs_cosine_pairs(emb, threshold=0.99).toPandas()
     exact_pairs = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
     assert {(0, 1), (0, 2), (1, 2)} <= exact_pairs
     lsh = lsh_near_dup_pairs(
@@ -123,6 +170,17 @@ def test_embedding_near_dup_and_lsh(spark, emb):
     lsh_pairs = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
     assert (0, 1) in lsh_pairs  # LSH recalls the tight cluster
     assert lsh_pairs <= exact_pairs  # verification keeps it exact-subset
+    # the first-class operator is the same composition (candidates+verify):
+    # a subset of the all-pairs truth, with identical scores where present
+    comp = embedding_near_dup_pairs(
+        emb, threshold=0.99, n_planes=6, n_tables=8, dim=8
+    ).toPandas()
+    comp_scores = {(a, b): c for a, b, c in zip(comp.id_a, comp.id_b, comp.cosine_e6)}
+    exact_scores = {(a, b): c for a, b, c in zip(exact.id_a, exact.id_b, exact.cosine_e6)}
+    assert set(comp_scores) <= set(exact_scores)
+    assert (0, 1) in comp_scores
+    for pair, score in comp_scores.items():
+        assert score == exact_scores[pair]
 
 
 def test_text_functions(spark, docs):

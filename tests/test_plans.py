@@ -51,6 +51,46 @@ def test_distributed_query_plan_no_row_udf(spark, small_index):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_embed_near_dup_plan_no_cartesian(spark):
+    """The first-class near-dup operator must never plan an all-pairs join:
+    candidates come from the LSH bucket equi-join, so the physical plan has
+    no CartesianProduct / BroadcastNestedLoopJoin node (VERDICT r2 #2)."""
+    from excelastic_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = spark.range(16).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    df = embedding_near_dup_pairs(
+        emb, threshold=0.5, n_planes=4, n_tables=2, dim=8
+    )
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_no_python_row_udf(df)
+
+
+def test_minhash_hot_set_is_broadcast_join_not_literal(spark):
+    """With a shingle-df cap, boilerplate removal must appear in the plan
+    as a broadcast left-anti join — not a driver-collected literal isin
+    list folded into a lambda (VERDICT r2 #5)."""
+    from excelastic_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i % 3} common common2") for i in range(12)],
+        "doc_id long, text string",
+    )
+    df = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, max_shingle_df=4
+    )
+    plan = explain_str(df, "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "isin" not in plan.lower(), plan
+    assert_no_python_row_udf(df)
+
+
 def test_corpus_scan_column_pruning(spark, small_index):
     store, _ = small_index
     docs = store.read_table(spark, "docs").select("doc_id", "doclen")
