@@ -326,6 +326,21 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_media_real_decode(spark, sf_dir):
+    """REAL decode kernels end-to-end: deterministic genuine WAV/PPM/AVI
+    payloads (structure a simple function of media_id — see
+    synthesize_media) decoded in executor tasks; the oracle re-derives the
+    decoded container structure from the same id arithmetic, so a decoder
+    that misreads headers/frames hash-mismatches."""
+    from excelastic_spark.functions.multimodal import (
+        probe_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=60, seed=7, real=True)
+    return probe_media(media)
+
+
 # --------------------------------------------------------------------------
 # ingest surface (spreadsheet/CSV/workbook) + index lifecycle gates
 
@@ -414,6 +429,60 @@ def _q_xls_typed(spark, sf_dir):
         .cast("long")
         .alias("price_e6"),
         "o_orderdate",
+    )
+
+
+def _q_workbooks_dir_typed(spark, sf_dir):
+    """Distributed workbook ingest (the file-per-task scale path,
+    sources/spreadsheet.py read_workbooks — reference one-worker-per-file
+    pool, README.md:14): customers split into one small workbook per
+    nation, .xlsx and .xls alternating so BOTH parsers run inside executor
+    tasks, read back via binaryFile + mapInPandas and re-typed from the
+    JSON docs. Oracle recomputes straight from the parquet."""
+    import shutil
+
+    from excelastic_spark.sources.biff import write_xls
+    from excelastic_spark.sources.spreadsheet import read_workbooks
+    from excelastic_spark.sources.workbook import write_xlsx
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") <= 600)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .collect()
+    )
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(int(r["c_nationkey"]), []).append(r)
+    d = os.path.join(
+        _FILES_DIR, os.path.basename(os.path.realpath(sf_dir)), "cust_books"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    hdrs = ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    for nk, rs in sorted(by_nation.items()):
+        data = [
+            [
+                int(r["c_custkey"]),
+                str(r["c_name"]),
+                float(r["c_acctbal"]),
+                int(r["c_nationkey"]),
+            ]
+            for r in sorted(rs, key=lambda r: r["c_custkey"])
+        ]
+        writer = write_xlsx if nk % 2 == 0 else write_xls
+        ext = "xlsx" if nk % 2 == 0 else "xls"
+        writer(os.path.join(d, f"n{nk}.{ext}"), hdrs, data, offset=2)
+    docs = read_workbooks(spark, d, offset=2)
+    j = F.from_json(
+        F.col("doc"),
+        "c_custkey double, c_name string, c_acctbal double, c_nationkey double",
+    )
+    return docs.select(
+        j["c_custkey"].cast("long").alias("c_custkey"),
+        j["c_name"].alias("c_name"),
+        F.floor(j["c_acctbal"] * 1e6 + F.lit(0.5)).cast("long").alias("acctbal_e6"),
+        j["c_nationkey"].cast("long").alias("c_nationkey"),
     )
 
 
@@ -706,9 +775,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": _q_embed_near_dup,
         "lsh_near_dup": _q_lsh_near_dup,
         "multimodal_features": _q_multimodal,
+        "media_real_decode": _q_media_real_decode,
         # --- ingest surface + index lifecycle ---
         "spreadsheet_typed": _q_spreadsheet_typed,
         "xls_typed": _q_xls_typed,
+        "workbooks_dir_typed": _q_workbooks_dir_typed,
         "csv_typed": _q_csv_typed,
         "index_append": _q_index_append,
         "index_merge": _q_index_merge,
@@ -858,6 +929,21 @@ SELECT doc_id AS media_id,
   sha256(text) AS payload_sha
 FROM documents
 """,
+        # decoded-structure oracle: synthesize_media(n=60, seed=7,
+        # real=True) makes audio a fixed 200 ms, images 32x24, video
+        # (6 + i % 5) frames at 10 fps / 16x12 — all re-derivable from
+        # the media_id alone
+        "media_real_decode": """
+SELECT CAST(i AS BIGINT) AS media_id,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 32 WHEN 2 THEN 16 END::BIGINT AS width,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 24 WHEN 2 THEN 12 END::BIGINT AS height,
+  CASE CAST(i % 3 AS INT) WHEN 1 THEN 200
+       WHEN 2 THEN (6 + i % 5) * 100 END::BIGINT AS duration_ms,
+  CASE CAST(i % 3 AS INT) WHEN 2 THEN 6 + i % 5 END::BIGINT AS n_frames
+FROM range(60) t(i)
+""",
         "spreadsheet_typed": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        o_orderstatus,
@@ -871,6 +957,12 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS price_e6,
        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS o_orderdate
 FROM orders WHERE o_orderkey < 1000
+""",
+        "workbooks_dir_typed": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS acctbal_e6,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer WHERE c_custkey <= 600
 """,
         "csv_typed": """
 SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

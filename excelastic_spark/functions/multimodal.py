@@ -9,11 +9,13 @@ Decode kernels (``decoder='real'``), stdlib-only — no PIL/ffmpeg needed:
 * **image (PPM P6)** — the binary Netpbm format parsed with struct/numpy;
   features are a nearest-neighbor 4x4 grayscale thumbnail (the classic
   resize-then-embed shape) plus mean/std.
-* **video** — no container/codec parser is available in the stdlib, so the
-  video branch keeps the honest ``NotImplementedError`` seam; its
-  *plumbing* (frame-sample planning, schema, batching) is real and tested,
-  and ``decoder='fake'`` provides a deterministic stand-in so end-to-end
-  pipelines remain testable.
+* **video (uncompressed AVI)** — a RIFF/AVI container with raw RGB24
+  ``DIB`` frames (public format: the RIFF chunk grammar + BITMAPINFOHEADER
+  layout), parsed with struct/numpy: header dims + fps from ``avih``/
+  ``strh``, frames from the ``movi`` ``00db`` chunks (bottom-up BGR rows,
+  4-byte aligned). Features sample frames on the same every-ms grid as
+  :func:`frame_sample_plan`. Compressed codecs (H.264 etc.) remain out of
+  scope — plug ffmpeg at the ``decode_avi`` seam for those.
 
 ``decoder='fake'`` produces a deterministic pseudo-feature from the payload
 hash for every kind — the oracle-checkable path used by the correctness
@@ -162,24 +164,108 @@ def image_features(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) over a RIFF chunk run;
+    chunks are 2-byte aligned."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI -> (frames uint8 (n, h, w, 3) RGB top-down, fps).
+
+    Parses the public RIFF/AVI layout: ``avih`` for dims, ``strh`` for the
+    rate/scale fps fraction, ``strf`` (BITMAPINFOHEADER) to require 24-bit
+    BI_RGB, then every ``00db``/``00dc`` chunk under LIST ``movi`` as one
+    bottom-up BGR frame with 4-byte-aligned rows."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    rate = scale = None
+    usec_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, rate, scale, usec_per_frame
+        for fourcc, p, size in _riff_chunks(payload, pos, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                (usec_per_frame,) = struct.unpack_from("<I", payload, p)
+                width, height = struct.unpack_from("<II", payload, p + 32)
+            elif fourcc == b"strh":
+                if payload[p : p + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", payload, p + 20)
+            elif fourcc == b"strf":
+                bitcount, compression = struct.unpack_from("<HI", payload, p + 14)
+                if bitcount != 24 or compression != 0:
+                    raise ValueError(
+                        "only uncompressed 24-bit BI_RGB AVI is supported "
+                        "(plug ffmpeg at this seam for codec'd video)"
+                    )
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(payload[p : p + size])
+
+    try:
+        walk(12, len(payload))
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt AVI: truncated record stream ({e})") from e
+    if not width or not height or not frames:
+        raise ValueError("corrupt AVI: missing header or frames")
+    if rate and scale:
+        fps = rate / scale
+    elif usec_per_frame:
+        fps = 1e6 / usec_per_frame
+    else:
+        raise ValueError("corrupt AVI: no frame timing")
+    stride = (width * 3 + 3) & ~3
+    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        rows = np.frombuffer(fb, dtype=np.uint8, count=stride * height)
+        bgr = rows.reshape(height, stride)[:, : width * 3].reshape(
+            height, width, 3
+        )
+        out[i] = bgr[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    return out, fps
+
+
+def video_features(payload: bytes, dim: int, every_ms: int = 1000) -> np.ndarray:
+    """Real video features: [duration_s, n_frames, gray_mean, gray_std,
+    per-sampled-frame gray means...] padded/truncated to ``dim``. Frames
+    are sampled on the same every-ms grid as :func:`frame_sample_plan`, so
+    the planned and decoded pipelines line up."""
+    frames, fps = decode_avi(payload)
+    n = frames.shape[0]
+    duration_s = n / fps if fps else 0.0
+    gray = frames.astype(np.float64).mean(axis=3) / 255.0
+    feats = [duration_s, float(n), float(gray.mean()), float(gray.std())]
+    ts = 0.0
+    while ts < duration_s * 1000 and len(feats) < dim:
+        idx = min(int(ts / 1000 * fps), n - 1)
+        feats.append(float(gray[idx].mean()))
+        ts += every_ms
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(feats))] = np.asarray(feats[:dim], dtype=np.float32)
+    return out
+
+
 def _real_decode(kind: str, payload: bytes, dim: int) -> np.ndarray:
     if kind == "audio":
         return wav_features(payload, dim)
     if kind == "image":
         return image_features(payload, dim)
-    raise NotImplementedError(
-        "real video decode needs a codec library (none in the stdlib/"
-        "container); the frame-sample PLAN is real (frame_sample_plan) — "
-        "plug ffmpeg here per sampled frame at deployment"
-    )
+    return video_features(payload, dim)
 
 
 def extract_features(
     media: DataFrame, dim: int = 16, decoder: str = "fake"
 ) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas (Arrow batches).
-    ``decoder='real'`` runs the stdlib WAV/PPM kernels (video raises, see
-    module docstring); ``'fake'`` is the deterministic hash stand-in."""
+    ``decoder='real'`` runs the stdlib WAV/PPM/AVI kernels; ``'fake'`` is
+    the deterministic hash stand-in."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,21 +345,85 @@ def make_ppm(seed: int, w: int = 32, h: int = 24) -> bytes:
     return header + img.tobytes()
 
 
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def make_avi(
+    frames: np.ndarray, fps: int = 10
+) -> bytes:
+    """Real uncompressed AVI from uint8 (n, h, w, 3) RGB frames: RIFF
+    container, ``avih``/``strh``/``strf`` headers, one ``00db`` DIB chunk
+    per frame (bottom-up BGR, 4-byte-aligned rows)."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_bytes.append(rows.tobytes())
+    frame_size = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIiI4h", 0, 0, 0, 0, 1, fps, 0, n, frame_size, -1, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", fb) for fb in frame_bytes))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def make_video(seed: int, w: int = 16, h: int = 12, n_frames: int = 8, fps: int = 10) -> bytes:
+    """Deterministic real AVI: seeded per-frame gradient + noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for t in range(n_frames):
+        base = ((xx * 17 + yy * 5 + t * 29) % 256).astype(np.uint8)
+        frames[t] = np.stack(
+            [base, base[::-1], rng.integers(0, 256, (h, w), dtype=np.uint8)],
+            axis=2,
+        )
+    return make_avi(frames, fps)
+
+
 def synthesize_media(
     spark, n: int = 64, seed: int = 42, real: bool = False
 ) -> DataFrame:
-    """Deterministic media table. ``real=True`` emits genuine WAV/PPM
-    payloads for audio/image rows (video payloads stay opaque seeded
-    bytes — there is no stdlib video encoder either)."""
+    """Deterministic media table. ``real=True`` emits genuine WAV/PPM/AVI
+    payloads — audio duration is a fixed 200 ms, image dims 32x24, video
+    ``6 + i % 5`` frames at 10 fps / 16x12 — all simple functions of the
+    media_id so an engine-independent oracle can re-derive the decoded
+    structure (the correctness gate does exactly that)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         rng = np.random.default_rng(seed * 7919 + i)
         kind = kinds[i % 3]
+        n_frames = 6 + i % 5
         if real and kind == "audio":
             payload = make_wav(seed * 31 + i)
         elif real and kind == "image":
             payload = make_ppm(seed * 37 + i)
+        elif real and kind == "video":
+            payload = make_video(seed * 41 + i, n_frames=n_frames)
         else:
             payload = bytes(rng.integers(0, 256, size=128 + i % 64, dtype=np.uint8))
         rows.append(
@@ -284,11 +434,61 @@ def synthesize_media(
                 {
                     "image": "image/x-portable-pixmap" if real else "image/png",
                     "audio": "audio/wav",
-                    "video": "video/mp4",
+                    "video": "video/x-msvideo" if real else "video/mp4",
                 }[kind],
-                32 if kind == "image" else None,
-                24 if kind == "image" else None,
-                5000 + i * 100 if kind == "video" else None,
+                {"image": 32, "video": 16 if real else None}.get(kind),
+                {"image": 24, "video": 12 if real else None}.get(kind),
+                (n_frames * 100 if real else 5000 + i * 100)
+                if kind == "video"
+                else None,
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL kernels and report the container
+    structure: (media_id, kind, width, height, duration_ms, n_frames) —
+    nulls where the kind has no such axis. This is the decoded-side dual of
+    the metadata columns: a value-checkable proof the decoders actually
+    read the bytes."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("n_frames", LongType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "width", "height",
+                                   "duration_ms", "n_frames")}
+            for mid, kind, p in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(p)
+                w = h = dur = nf = None
+                if kind == "image":
+                    img = decode_ppm(payload)
+                    h, w = int(img.shape[0]), int(img.shape[1])
+                elif kind == "audio":
+                    x, rate = decode_wav(payload)
+                    dur = round(1000 * x.size / rate)
+                else:
+                    frames, fps = decode_avi(payload)
+                    nf = int(frames.shape[0])
+                    h, w = int(frames.shape[1]), int(frames.shape[2])
+                    dur = round(1000 * nf / fps)
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["n_frames"].append(nf)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=schema)

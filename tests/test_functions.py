@@ -230,7 +230,7 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=1000).toPandas()
     assert len(frames) > 0
     assert (frames.frame_ts_ms % 1000 == 0).all()
-    # real decoder is an explicit stub
+    # real decoders reject the opaque random payloads (not WAV/PPM/AVI)
     with pytest.raises(Exception):
         extract_features(media, dim=8, decoder="real").collect()
 

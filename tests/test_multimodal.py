@@ -77,13 +77,70 @@ def test_extract_features_real_kernels(spark):
     )
 
 
-def test_extract_features_video_seam(spark):
+def test_avi_roundtrip_bit_exact():
+    """decode_avi(make_avi(frames)) must return the EXACT frames — the
+    writer/parser pair is a genuine container implementation, including
+    row padding (w=10 -> 30-byte rows padded to 32) and BGR/bottom-up."""
+    from excelastic_spark.functions.multimodal import decode_avi, make_avi
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (5, 7, 10, 3), dtype=np.uint8)
+    payload = make_avi(frames, fps=25)
+    got, fps = decode_avi(payload)
+    assert fps == 25.0
+    assert np.array_equal(got, frames)
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi(payload[:40])  # header only, no frames
+
+
+def test_video_features_real():
+    from excelastic_spark.functions.multimodal import (
+        decode_avi,
+        make_video,
+        video_features,
+    )
+
+    payload = make_video(seed=5, w=16, h=12, n_frames=8, fps=10)
+    frames, fps = decode_avi(payload)
+    assert frames.shape == (8, 12, 16, 3) and fps == 10.0
+    f = video_features(payload, dim=16, every_ms=100)
+    assert abs(f[0] - 0.8) < 1e-6  # duration seconds
+    assert f[1] == 8.0
+    gray = frames.astype(np.float64).mean(axis=3) / 255.0
+    assert abs(f[2] - gray.mean()) < 1e-6
+    # per-sampled-frame means on the every-100ms grid = frames 0..7
+    for i in range(8):
+        assert abs(f[4 + i] - gray[i].mean()) < 1e-6
+
+
+def test_extract_features_video_real_and_fake(spark):
     media = synthesize_media(spark, n=3, real=True).filter("kind = 'video'")
-    with pytest.raises(Exception, match="video decode"):
-        extract_features(media, dim=8, decoder="real").collect()
-    # the fake path still covers video so pipelines stay testable
+    from excelastic_spark.functions.multimodal import video_features
+
+    rows = extract_features(media, dim=8, decoder="real").collect()
+    assert len(rows) == 1
+    payload = bytes(media.collect()[0]["payload"])
+    assert np.array_equal(
+        np.asarray(rows[0]["feature"], dtype=np.float32),
+        video_features(payload, 8),
+    )
+    # the fake path still covers video so hash-only pipelines stay testable
     rows = extract_features(media, dim=8, decoder="fake").collect()
     assert len(rows) == 1 and len(rows[0]["feature"]) == 8
+
+
+def test_probe_media_structure(spark):
+    from excelastic_spark.functions.multimodal import probe_media
+
+    media = synthesize_media(spark, n=9, seed=7, real=True)
+    got = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert got[0]["width"] == 32 and got[0]["height"] == 24  # image
+    assert got[1]["duration_ms"] == 200  # audio, fixed 200ms
+    assert got[2]["n_frames"] == 6 + 2 % 5 and got[2]["duration_ms"] == 800
+    assert got[5]["n_frames"] == 6 + 5 % 5  # video frame count tracks id
+    assert got[5]["width"] == 16 and got[5]["height"] == 12
 
 
 def test_frame_sample_plan(spark):
