@@ -216,7 +216,16 @@ while not all(os.path.exists(p) for p in ready):
         raise RuntimeError("runner died during warmup")
     time.sleep(0.1)
 
+def _jiffies():
+    # system-wide busy jiffies (user+nice+system): quantifies total CPU
+    # burned during the timed window — identical work burning more CPU at
+    # 4 runners than 1 is the signature of co-location contention
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[1]) + int(parts[2]) + int(parts[3])
+
 store = IndexStore(wh, "idx")
+j0 = _jiffies()
 t0 = time.time()
 plan = sharded.plan_shards(corpus, n_shards, store, cfg)
 plan_sec = time.time() - t0
@@ -228,6 +237,7 @@ t_f = time.time()
 sharded.finalize(spark, store, cfg)
 fin_sec = time.time() - t_f
 build_sec = time.time() - t0
+cpu_sec = (_jiffies() - j0) / os.sysconf("SC_CLK_TCK")
 
 qe = QueryEngine(spark, store, cfg)
 tq = time.time()
@@ -241,6 +251,7 @@ print(json.dumps({
     "build_sec": round(build_sec, 2),
     "docs_per_sec": round(n_docs / build_sec, 1),
     "plan_sec": round(plan_sec, 2), "finalize_sec": round(fin_sec, 2),
+    "cpu_sec": round(cpu_sec, 1),
     "runner_sec": [r["sec"] for r in runner_stats],
     "per_shard": {r["rid"]: [p["sec"] for p in r["per_shard"]] for r in runner_stats},
     "query_mean_sec": round(q_sec, 4),
@@ -355,6 +366,15 @@ def section(title: str, desc: str, n: int, rn: dict, r4n: dict,
             f"4N detail: plan {r4n['plan_sec']}s + {r4n['n_runners']} "
             f"concurrent runners x {r4n['runner_sec']}s + finalize "
             f"{r4n['finalize_sec']}s", ""]
+        if "cpu_sec" in rn:
+            ratio = r4n["cpu_sec"] / rn["cpu_sec"] if rn["cpu_sec"] else 0
+            lines += [
+                f"System-wide busy CPU-seconds over the timed window "
+                f"(identical work at both levels): N = {rn['cpu_sec']}, "
+                f"4N = {r4n['cpu_sec']} ({ratio:.2f}x) — CPU inflation at "
+                "4N beyond ~1.0x quantifies single-host co-location "
+                "contention (shared socket bandwidth/LLC), a cost absent "
+                "when real executor groups bring their own sockets.", ""]
     return "\n".join(lines)
 
 

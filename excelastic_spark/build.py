@@ -300,11 +300,25 @@ def term_stats(triples: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 class IndexBuilder:
     def __init__(
-        self, spark: SparkSession, store: IndexStore, cfg: EngineConfig | None = None
+        self, spark: SparkSession, store: IndexStore, cfg: EngineConfig | None = None,
+        progress=None,
     ):
+        """``progress``: optional ``fn(stage: str, pct: float)`` invoked at
+        stage boundaries — the batch-engine analog of the reference's
+        per-batch IMPORT_PROGRESS bus events (ElasticWriter.java:149-155);
+        web.py forwards these to upload clients. Must be cheap/non-raising
+        concerns of the caller."""
         self.spark = spark
         self.store = store
         self.cfg = cfg or EngineConfig()
+        self._progress = progress
+
+    def _emit(self, stage: str, pct: float) -> None:
+        if self._progress is not None:
+            try:
+                self._progress(stage, pct)
+            except Exception:
+                pass  # a broken progress listener must never fail a build
 
     # ------------------------------------------------------------- helpers
 
@@ -347,6 +361,7 @@ class IndexBuilder:
         if transform is not None:
             corpus = transform(corpus)
         # ---- stage: validate + fingerprint (one scan, fail-fast) ----
+        self._emit("verify", 2.0)
         fp, n_input, bucket_counts = validate_and_fingerprint(
             corpus, pre_ingested
         )
@@ -356,6 +371,7 @@ class IndexBuilder:
 
         # ---- stage: ingest (ids + sha256 -> corpus snapshot) ----
         if not (store.stage_done("ingest", fp) and store.has_table("ingested")):
+            self._emit("ingest", 10.0)
             t0 = time.time()
             ingested = corpus if pre_ingested else ingest_corpus(
                 corpus, validate=False, bucket_counts=bucket_counts
@@ -380,6 +396,7 @@ class IndexBuilder:
 
         # ---- stage: triples (tokenize ONCE, persisted checkpoint) ----
         if not (store.stage_done("triples", fp) and store.has_table("triples")):
+            self._emit("tokenize", 30.0)
             t0 = time.time()
             got = self._write_observed(
                 tokenize_triples(ingested),
@@ -459,6 +476,7 @@ class IndexBuilder:
         if chain_exc is not None:
             raise chain_exc
 
+        self._emit("done", 100.0)
         return metrics
 
     def _build_chain(
@@ -488,6 +506,7 @@ class IndexBuilder:
             )
 
         if not (store.stage_done("terms", fp) and store.has_table("terms")):
+            self._emit("terms", 60.0)
             _terms_stage()
             store.commit_stage("terms", fp, n_terms=counts["n_terms"])
 
@@ -536,6 +555,7 @@ class IndexBuilder:
 
         # ---- stage: postings ----
         if not (store.stage_done("postings", fp) and store.has_table("postings")):
+            self._emit("postings", 80.0)
             t0 = time.time()
             postings = encode_postings(triples, terms, cfg, avgdl)
             got = self._write_observed(

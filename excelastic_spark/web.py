@@ -1,0 +1,572 @@
+"""Web upload surface + live import-progress channel.
+
+Analog of the reference's PRIMARY user journey — the Vert.x web verticle
+(/root/reference/src/main/java/com/codingchili/excelastic/controller/
+Website.java): ``POST /api/upload`` receives a multipart spreadsheet
+upload, parses it (fail-fast dry-run), indexes every row, and answers
+with the done/error view model (Website.java:130-150,160-178); a status
+channel streams ``{uploadId, action, progress}`` events to clients that
+subscribe by uploadId (Website.java:94-119, events published per batch by
+ElasticWriter.java:149-155).
+
+This engine serves the same journey with the stdlib only:
+
+* ``POST /api/upload`` — multipart form (params ``index``, ``offset``,
+  ``options=clear``, ``uploadId``, ``mapping``, ``pipeline``; reference
+  ImportEvent.fromParams, model/ImportEvent.java:40-48). The file is
+  parsed with the reference-exact ``parse_rows`` semantics and indexed
+  through the SAME IndexBuilder / IncrementalIndexer paths the CLI uses:
+  first upload builds the index, later uploads append (the ES behavior),
+  ``options=clear`` drops it first, ``index_lock`` pins the index name to
+  the configured default (Website.java:141-143,180-184).
+* ``GET /ws`` — a genuine RFC 6455 websocket (public spec): welcome
+  message on connect, client sends one ``{"uploadId": id}`` text frame to
+  subscribe, server forwards that upload's progress events, consumer is
+  unregistered on close/error (Website.java:94-118 exactly).
+* ``GET /api/progress?uploadId=&after=`` — HTTP long-poll equivalent for
+  websocket-less clients (returns events with seq > after).
+* ``GET /`` — status page with the template context the reference injects
+  on every route: version, connectivity, locked index, supported files
+  (Website.java:60-76).
+
+Progress events come from IndexBuilder's stage hook — the batch-engine
+analog of per-bulk-batch percent: a Spark build is a handful of stages,
+not 10k HTTP batches, so percent advances per stage (documented
+honestly; the event SHAPE {uploadId, action, progress} matches
+ElasticWriter.java:152-155).
+
+Scale note: this server is a control-plane front-end — the data plane is
+the same Spark job the CLI submits, so a 100 TB upload directory would be
+pointed at the CLI/`read_workbooks` path; the web surface exists for the
+reference's interactive one-file journey and small-batch appends.
+"""
+
+from __future__ import annotations
+
+import base64
+import email.parser
+import email.policy
+import hashlib
+import json
+import os
+import queue
+import socket
+import struct
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlsplit
+
+VERSION = "1.0-spark"
+SUPPORTED_EXTENSIONS = (".csv", ".xls", ".xlsx")
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+NO_FILE_WAS_UPLOADED = "No file was uploaded."  # Website.java:40
+
+
+# --------------------------------------------------------------------------
+# progress bus: the in-process analog of the Vert.x event bus topic
+# IMPORT_PROGRESS (ElasticWriter.java:23, published :152-155; consumed per
+# uploadId by Website.java:101-109)
+
+
+class ProgressBus:
+    def __init__(self, history: int = 256):
+        self._lock = threading.Lock()
+        self._events: dict[str, list[dict]] = {}
+        self._subs: dict[str, list[queue.Queue]] = {}
+        self._history = history
+        self._seq = 0
+
+    def publish(self, upload_id: str, action: str, progress: float, **extra):
+        with self._lock:
+            self._seq += 1
+            ev = {
+                "uploadId": upload_id,
+                "action": action,
+                "progress": round(float(progress), 1),
+                "seq": self._seq,
+                **extra,
+            }
+            hist = self._events.setdefault(upload_id, [])
+            hist.append(ev)
+            del hist[: -self._history]
+            for q in self._subs.get(upload_id, []):
+                q.put(ev)
+        return ev
+
+    def subscribe(self, upload_id: str) -> queue.Queue:
+        q: queue.Queue = queue.Queue()
+        with self._lock:
+            for ev in self._events.get(upload_id, []):
+                q.put(ev)  # replay: poll-late clients still see the run
+            self._subs.setdefault(upload_id, []).append(q)
+        return q
+
+    def unsubscribe(self, upload_id: str, q: queue.Queue) -> None:
+        with self._lock:
+            subs = self._subs.get(upload_id, [])
+            if q in subs:
+                subs.remove(q)
+
+    def since(self, upload_id: str, after_seq: int) -> list[dict]:
+        with self._lock:
+            return [
+                e for e in self._events.get(upload_id, []) if e["seq"] > after_seq
+            ]
+
+
+# --------------------------------------------------------------------------
+# import event (ImportEvent.fromParams, model/ImportEvent.java:40-48)
+
+
+@dataclass
+class ImportEvent:
+    index: str
+    offset: int = 1
+    clear_existing: bool = False
+    upload_id: str = ""
+    mapping: str = "default"
+    pipeline: str | None = None
+
+    @classmethod
+    def from_params(cls, params: dict[str, str], default_index: str,
+                    index_lock: bool) -> "ImportEvent":
+        index = params.get("index") or default_index
+        if index_lock:  # Website.java:141-143,180-184
+            index = default_index
+        mapping = params.get("mapping") or "default"  # ImportEvent.java:77-79
+        return cls(
+            index=index,
+            offset=int(params.get("offset", "1") or "1"),
+            clear_existing=params.get("options", "") == "clear",
+            upload_id=params.get("uploadId", ""),
+            mapping=mapping,
+            pipeline=params.get("pipeline") or None,
+        )
+
+
+# --------------------------------------------------------------------------
+# upload -> corpus rows -> index (the data plane; same code path as the CLI)
+
+
+def docs_to_corpus_rows(
+    docs: list[dict], filename: str, upload_id: str, ext: str
+) -> list[tuple]:
+    """One parsed spreadsheet row -> one corpus document, like one ES doc
+    per row in the reference: content is the row's JSON (sorted keys so the
+    sha256 ingest invariant is deterministic); (repo,path,commit) uniquely
+    identify the row across repeat uploads of the same file."""
+    return [
+        (
+            "upload",
+            f"{filename}#row{i}",
+            upload_id,
+            ext.lstrip("."),
+            json.dumps(doc, sort_keys=True, separators=(",", ":")),
+        )
+        for i, doc in enumerate(docs)
+    ]
+
+
+class UploadService:
+    """Parses and indexes one uploaded file; publishes progress events.
+    The blocking-parse-then-index shape of Website.parse
+    (Website.java:195-220): dry-run parse fails fast with nothing indexed,
+    then the import runs to completion before the HTTP response."""
+
+    def __init__(self, spark, cfg, bus: ProgressBus):
+        self.spark = spark
+        self.cfg = cfg
+        self.bus = bus
+        self._index_locks: dict[str, threading.Lock] = {}
+        self._lock = threading.Lock()
+
+    def _index_lock(self, name: str) -> threading.Lock:
+        with self._lock:
+            return self._index_locks.setdefault(name, threading.Lock())
+
+    def import_file(
+        self, payload: bytes, filename: str, event: ImportEvent
+    ) -> int:
+        """Returns the number of imported rows (parser.getNumberOfElements
+        analog). Raises ParserException subclasses on invalid input."""
+        from excelastic_spark.build import IndexBuilder
+        from excelastic_spark.catalog import IndexStore
+        from excelastic_spark.corpus import CORPUS_SCHEMA
+        from excelastic_spark.sources.spreadsheet import _extension, parse_rows
+        from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+        ext = _extension(filename)  # InvalidFileName/UnsupportedFileType
+        # verify event BEFORE parsing starts (Website.sendParsingEvent,
+        # Website.java:222-226)
+        self.bus.publish(event.upload_id, "verify", 0.0)
+        # uploads land on disk first, like the Vert.x BodyHandler's
+        # file-uploads dir (Website.java:145 uploadedFileName)
+        with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tf:
+            tf.write(payload)
+            tmp = tf.name
+        try:
+            _, docs = parse_rows(tmp, offset=event.offset)
+        finally:
+            os.unlink(tmp)
+
+        rows = docs_to_corpus_rows(docs, filename, event.upload_id, ext)
+        df = self.spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
+        store = IndexStore(self.cfg.warehouse, event.index)
+
+        def progress(stage: str, pct: float) -> None:
+            self.bus.publish(event.upload_id, "import", pct, stage=stage)
+
+        # one import per index at a time (the reference serializes through
+        # a single ES writer verticle per event-bus delivery)
+        with self._index_lock(event.index):
+            exists = bool(store.manifest().get("stages"))
+            if event.clear_existing or not exists:
+                IndexBuilder(self.spark, store, self.cfg, progress=progress).build(
+                    df, clear=event.clear_existing
+                )
+            else:
+                cfg = type(self.cfg).from_store(store, base=self.cfg)
+                progress("append", 50.0)
+                IncrementalIndexer(self.spark, store, cfg).append_increment(df)
+        self.bus.publish(event.upload_id, "done", 100.0, imported=len(docs))
+        return len(docs)
+
+
+# --------------------------------------------------------------------------
+# multipart/form-data (public format, RFC 7578) via the stdlib email parser
+
+
+def parse_multipart(
+    content_type: str, body: bytes
+) -> tuple[dict[str, str], list[tuple[str, bytes]]]:
+    """-> (form fields, [(filename, payload), ...])."""
+    head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n"
+    msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
+        head.encode("ascii") + body
+    )
+    fields: dict[str, str] = {}
+    files: list[tuple[str, bytes]] = []
+    if not msg.is_multipart():
+        return fields, files
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        filename = part.get_filename()
+        payload = part.get_payload(decode=True) or b""
+        if filename:
+            files.append((filename, payload))
+        elif name:
+            fields[str(name)] = payload.decode("utf-8", "replace")
+    return fields, files
+
+
+# --------------------------------------------------------------------------
+# RFC 6455 websocket framing (public spec; server->client frames unmasked,
+# client->server frames masked)
+
+
+def ws_accept_key(key: str) -> str:
+    digest = hashlib.sha1((key + _WS_GUID).encode("ascii")).digest()
+    return base64.b64encode(digest).decode("ascii")
+
+
+def ws_encode_text(payload: str) -> bytes:
+    data = payload.encode("utf-8")
+    n = len(data)
+    if n < 126:
+        return b"\x81" + bytes([n]) + data
+    if n < 1 << 16:
+        return b"\x81\x7e" + struct.pack(">H", n) + data
+    return b"\x81\x7f" + struct.pack(">Q", n) + data
+
+
+def ws_read_frame(sock) -> tuple[int, bytes] | None:
+    """-> (opcode, payload) or None on EOF. ``sock`` is anything with
+    ``recv(n)`` (a socket, or a buffered-reader shim — the server reads
+    frames through the handler's rfile so readahead is never lost)."""
+
+    def read_exact(n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    hdr = read_exact(2)
+    if hdr is None:
+        return None
+    opcode = hdr[0] & 0x0F
+    masked = bool(hdr[1] & 0x80)
+    n = hdr[1] & 0x7F
+    if n == 126:
+        ext = read_exact(2)
+        if ext is None:
+            return None
+        (n,) = struct.unpack(">H", ext)
+    elif n == 127:
+        ext = read_exact(8)
+        if ext is None:
+            return None
+        (n,) = struct.unpack(">Q", ext)
+    mask = read_exact(4) if masked else b"\x00" * 4
+    if mask is None:
+        return None
+    data = read_exact(n) if n else b""
+    if data is None:
+        return None
+    if masked:
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    return opcode, data
+
+
+# --------------------------------------------------------------------------
+# the HTTP server
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server: "UploadServer"
+
+    def log_message(self, fmt, *args):  # quiet; server keeps its own log
+        pass
+
+    # ---------------------------------------------------------------- util
+
+    def _json(self, obj: dict, status: int = 200) -> None:
+        body = json.dumps(obj).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _params(self) -> dict[str, str]:
+        qs = parse_qs(urlsplit(self.path).query)
+        return {k: v[0] for k, v in qs.items()}
+
+    # ----------------------------------------------------------------- GET
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        path = urlsplit(self.path).path
+        if path == "/ws":
+            self._websocket()
+        elif path == "/api/progress":
+            p = self._params()
+            self._json(
+                {
+                    "uploadId": p.get("uploadId", ""),
+                    "events": self.server.bus.since(
+                        p.get("uploadId", ""), int(p.get("after", "0") or "0")
+                    ),
+                }
+            )
+        elif path == "/favicon.ico":  # Website.java:56
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif path == "/api/status":
+            self._json(self.server.template_context())
+        else:
+            # the start/done/error views share one template context
+            # (Website.java:60-76); a JSON API serves the same model
+            ctx = self.server.template_context()
+            body = (
+                "<html><body><h1>excelastic-spark {version}</h1>"
+                "<p>engine connected: {connected}; index locked: "
+                "{indexLocked}; default index: {index}</p>"
+                "<p>supported files: {supportedFiles}</p>"
+                "<form method='post' action='/api/upload' "
+                "enctype='multipart/form-data'>"
+                "<input type='file' name='file'/>"
+                "<input name='index' placeholder='index'/>"
+                "<input name='offset' value='1'/>"
+                "<input type='submit'/></form></body></html>"
+            ).format(**ctx).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    # ---------------------------------------------------------------- POST
+
+    def do_POST(self) -> None:  # noqa: N802
+        path = urlsplit(self.path).path
+        if path != "/api/upload":
+            self._json({"error": "not found"}, status=404)
+            return
+        from excelastic_spark.sources.spreadsheet import ParserException
+
+        length = int(self.headers.get("Content-Length", "0") or "0")
+        body = self.rfile.read(length) if length else b""
+        ctype = self.headers.get("Content-Type", "")
+        fields: dict[str, str] = {}
+        files: list[tuple[str, bytes]] = []
+        if ctype.startswith("multipart/"):
+            fields, files = parse_multipart(ctype, body)
+        params = {**self._params(), **fields}
+
+        if not files:
+            # reroute(ERROR) with 200 + message (Website.java:146-149)
+            self._json({"error": NO_FILE_WAS_UPLOADED})
+            return
+        filename, payload = files[0]  # first upload only, like the reference
+        event = ImportEvent(index="", upload_id=params.get("uploadId", ""))
+        try:
+            # NumberFormatException from bad params fails like a parse
+            # error (Website.java:214 catches it alongside ParserException)
+            event = ImportEvent.from_params(
+                params,
+                default_index=self.server.cfg.resolve_index_name(None),
+                index_lock=self.server.cfg.index_lock,
+            )
+            imported = self.server.service.import_file(payload, filename, event)
+        except (ParserException, ValueError) as e:
+            # reroute(ERROR): full message to the client (Website.java:171-176)
+            self.server.bus.publish(
+                event.upload_id, "error", 0.0, message=str(e)
+            )
+            self._json({"error": f"{type(e).__name__}: {e}"})
+            return
+        # the done view model (Website.java:164-170)
+        self._json(
+            {"index": event.index, "file": filename, "imported": imported}
+        )
+
+    # ----------------------------------------------------------- websocket
+
+    def _websocket(self) -> None:
+        key = self.headers.get("Sec-WebSocket-Key")
+        if (
+            self.headers.get("Upgrade", "").lower() != "websocket"
+            or not key
+        ):
+            self._json({"error": "websocket upgrade required"}, status=400)
+            return
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+        self.end_headers()
+        self.wfile.flush()
+        sock = self.connection
+
+        class _Reader:
+            # frames come through the handler's buffered rfile: any bytes
+            # the reader buffered past the handshake are not lost
+            def __init__(self, rfile):
+                self._rfile = rfile
+
+            def recv(self, n: int) -> bytes:
+                return self._rfile.read(n)
+
+        reader = _Reader(self.rfile)
+        # welcome frame (Website.java:96,121-123)
+        sock.sendall(
+            ws_encode_text(
+                json.dumps(
+                    {
+                        "message": "websocket connected to excelastic-spark "
+                        + VERSION
+                    }
+                )
+            )
+        )
+        bus = self.server.bus
+        upload_id: str | None = None
+        q: queue.Queue | None = None
+        stop = threading.Event()
+
+        def pump() -> None:
+            # forwards subscribed progress events until close
+            # (Website.java:101-109)
+            while not stop.is_set():
+                if q is None:
+                    time.sleep(0.02)
+                    continue
+                try:
+                    ev = q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                try:
+                    sock.sendall(ws_encode_text(json.dumps(ev)))
+                except OSError:
+                    stop.set()
+
+        pumper = threading.Thread(target=pump, daemon=True)
+        pumper.start()
+        try:
+            while not stop.is_set():
+                frame = ws_read_frame(reader)
+                if frame is None:
+                    break
+                opcode, data = frame
+                if opcode == 8:  # close
+                    try:
+                        sock.sendall(b"\x88\x00")
+                    except OSError:
+                        pass
+                    break
+                if opcode == 9:  # ping -> pong
+                    sock.sendall(b"\x8a" + bytes([len(data)]) + data)
+                elif opcode == 1:
+                    # the one supported client message: set the uploadId to
+                    # listen to (Website.java:110-111)
+                    try:
+                        uid = json.loads(data.decode("utf-8")).get("uploadId")
+                    except (ValueError, UnicodeDecodeError):
+                        continue
+                    if uid:
+                        if q is not None and upload_id:
+                            bus.unsubscribe(upload_id, q)
+                        upload_id = str(uid)
+                        q = bus.subscribe(upload_id)
+        finally:
+            stop.set()
+            if q is not None and upload_id:
+                bus.unsubscribe(upload_id, q)  # Website.java:113-117
+            self.close_connection = True
+
+
+class UploadServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, spark, cfg=None, host: str = "127.0.0.1",
+                 port: int = 0):
+        from excelastic_spark.config import EngineConfig
+
+        self.cfg = cfg or EngineConfig()
+        self.bus = ProgressBus()
+        self.service = UploadService(spark, self.cfg, self.bus)
+        super().__init__((host, port), _Handler)
+
+    def template_context(self) -> dict[str, Any]:
+        """The view model injected on every route (Website.java:60-76)."""
+        return {
+            "version": VERSION,
+            "connected": True,  # the engine is in-process (no remote ES)
+            "indexLocked": self.cfg.index_lock,
+            "index": self.cfg.resolve_index_name(None),
+            "supportedFiles": ", ".join(SUPPORTED_EXTENSIONS),
+        }
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+
+def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 8080):
+    """Blocking entry: `python index.py serve` uses this."""
+    srv = UploadServer(spark, cfg, host, port)
+    print(f"excelastic-spark web on http://{host}:{srv.port}")
+    srv.serve_forever()

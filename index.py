@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("merge", help="compact postings segments")
     sub.add_parser("stats", help="print collection stats + stage metrics")
 
+    w = sub.add_parser(
+        "serve",
+        help="web upload surface + websocket/long-poll progress channel "
+        "(reference Website.java journey)",
+    )
+    w.add_argument("--host", default="127.0.0.1")
+    w.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
 
     from excelastic_spark.catalog import IndexStore
@@ -159,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stats":
         st = store.read_table(spark, "stats").collect()[0].asDict()
         print(json.dumps(st))
+    elif args.cmd == "serve":
+        from excelastic_spark.web import serve
+
+        serve(spark, cfg, host=args.host, port=args.port)
     spark.stop()
     return 0
 

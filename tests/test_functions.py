@@ -316,3 +316,53 @@ def test_minhash_capped_signature_consistent(spark):
     got = set(zip(cand.id_a, cand.id_b))
     assert (50, 51) in got  # identical bodies still pair after the cap
     assert len(got) < 20  # boilerplate no longer pairs everything
+
+
+def test_persisted_shingle_stats_reused(spark, tmp_path):
+    """shingle_df_stats computed once + persisted must yield IDENTICAL
+    capped results in both minhash and ngram paths (VERDICT r2 minor #5:
+    no per-call corpus-wide df recount at scale)."""
+    from excelastic_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        shingle_df_stats,
+    )
+
+    boiler = "copyright license header reserved "
+    rows = [(i, boiler + f"unique{i} body{i} text{i} tail{i}") for i in range(25)]
+    rows += [
+        (100, boiler + "alpha beta gamma delta epsilon zeta"),
+        (101, boiler + "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats_path = str(tmp_path / "shingle_stats")
+    shingle_df_stats(docs, "text", k=3).write.parquet(stats_path)
+    stats = spark.read.parquet(stats_path)
+    # a boilerplate shingle really is in the persisted hot slice
+    assert (
+        stats.filter("shingle = 'copyright license header'")
+        .collect()[0]["sdf"] == 27
+    )
+
+    def key(pdf):
+        return sorted(map(tuple, pdf[["id_a", "id_b"]].values.tolist()))
+
+    fresh = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_shingle_df=10
+    ).toPandas()
+    reused = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_shingle_df=10,
+        shingle_stats=stats,
+    ).toPandas()
+    assert key(fresh) == key(reused) and len(fresh) > 0
+
+    fresh_mh = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=16, bands=4,
+        hash_family="md5", max_shingle_df=10,
+    ).toPandas()
+    reused_mh = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=16, bands=4,
+        hash_family="md5", max_shingle_df=10, shingle_stats=stats,
+    ).toPandas()
+    assert key(fresh_mh) == key(reused_mh) and len(fresh_mh) > 0

@@ -1,0 +1,334 @@
+"""Web upload surface tests: the reference's TestWebsite journey
+(/root/reference/src/test/java/com/codingchili/TestWebsite.java) plus the
+progress-channel semantics of Website.java:94-119 — start page, multipart
+upload -> parse -> index -> done view model, no-file error, index_lock,
+websocket subscribe-by-uploadId with welcome + progress + done events."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import secrets
+import socket
+import struct
+
+import pytest
+
+from excelastic_spark.config import EngineConfig
+from excelastic_spark.web import UploadServer, ws_read_frame
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("web_wh"))
+    cfg = EngineConfig(
+        warehouse=wh, n_buckets=4, block_size=8, shuffle_partitions=4,
+        default_index="webdefault",
+    )
+    srv = UploadServer(spark, cfg)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post_upload(
+    port: int, filename: str, payload: bytes, fields: dict[str, str]
+) -> dict:
+    boundary = "b" + secrets.token_hex(12)
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n".encode()
+        )
+    parts.append(
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="{filename}"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n".encode()
+        + payload
+        + b"\r\n"
+    )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request(
+        "POST", "/api/upload", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200  # reference reroutes done/error with 200
+    out = json.loads(resp.read())
+    conn.close()
+    return out
+
+
+CSV = "name,value\nalpha,1\nbeta,2\ngamma delta,3\n"
+
+
+def test_start_page_and_status(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    assert resp.status == 200  # TestWebsite.shouldGetStartPage
+    html = resp.read().decode()
+    assert "excelastic-spark" in html and "webdefault" in html
+    conn.request("GET", "/api/status")
+    st = json.loads(conn.getresponse().read())
+    assert st["supportedFiles"] == ".csv, .xls, .xlsx"
+    assert st["connected"] is True and st["indexLocked"] is False
+    conn.request("GET", "/favicon.ico")  # Website.java:56
+    assert conn.getresponse().read() == b""
+    conn.close()
+
+
+def test_upload_csv_builds_queryable_index(server, spark):
+    out = _post_upload(
+        server.port, "data.csv", CSV.encode(),
+        {"index": "webidx", "offset": "1", "uploadId": "u1", "options": "",
+         "mapping": ""},
+    )
+    assert out == {"index": "webidx", "file": "data.csv", "imported": 3}
+
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.query import QueryEngine
+
+    store = IndexStore(server.cfg.warehouse, "webidx")
+    cfg = EngineConfig.from_store(store, base=server.cfg)
+    hits = QueryEngine(spark, store, cfg).search(["alpha"], "or", 5).to_pandas()
+    assert len(hits) == 1
+    # doc metadata carries the upload provenance (file#row, uploadId)
+    docs = store.read_table(spark, "docs").toPandas()
+    assert set(docs["path"]) == {f"data.csv#row{i}" for i in range(3)}
+    assert set(docs["commit"]) == {"u1"}
+
+
+def test_second_upload_appends(server, spark):
+    csv2 = "name,value\nepsilon,9\nzeta,10\n"
+    out = _post_upload(
+        server.port, "more.csv", csv2.encode(),
+        {"index": "webidx", "offset": "1", "uploadId": "u2"},
+    )
+    assert out["imported"] == 2
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.query import QueryEngine
+
+    store = IndexStore(server.cfg.warehouse, "webidx")
+    cfg = EngineConfig.from_store(store, base=server.cfg)
+    qe = QueryEngine(spark, store, cfg)
+    assert len(qe.search(["epsilon"], "or", 5).to_pandas()) == 1
+    assert len(qe.search(["alpha"], "or", 5).to_pandas()) == 1  # still there
+    assert store.read_table(spark, "stats").collect()[0]["n_docs"] == 5
+
+
+def test_upload_xlsx_with_offset(server, spark):
+    from excelastic_spark.sources.workbook import write_xlsx
+
+    path = os.path.join(server.cfg.warehouse, "fixture.xlsx")
+    write_xlsx(
+        path, ["city", "pop"], [["oslo", 7], ["bergen", 3]], offset=3
+    )
+    with open(path, "rb") as f:
+        payload = f.read()
+    out = _post_upload(
+        server.port, "cities.xlsx", payload,
+        {"index": "xlsxidx", "offset": "3", "uploadId": "u3"},
+    )
+    assert out == {"index": "xlsxidx", "file": "cities.xlsx", "imported": 2}
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.query import QueryEngine
+
+    store = IndexStore(server.cfg.warehouse, "xlsxidx")
+    cfg = EngineConfig.from_store(store, base=server.cfg)
+    hits = QueryEngine(spark, store, cfg).search(["oslo"], "or", 5).to_pandas()
+    assert len(hits) == 1
+
+
+def test_no_file_is_error(server):
+    boundary = "b0"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="index"'
+        f"\r\n\r\nx\r\n--{boundary}--\r\n"
+    ).encode()
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request(
+        "POST", "/api/upload", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200  # TestWebsite.shouldFailUpload: 200 + error
+    out = json.loads(resp.read())
+    conn.close()
+    assert out == {"error": "No file was uploaded."}  # Website.java:40
+
+
+def test_parse_error_reported(server):
+    bad = "a,b\n1,2,3\n"  # arity mismatch at row 2
+    out = _post_upload(
+        server.port, "bad.csv", bad.encode(),
+        {"index": "badidx", "offset": "1", "uploadId": "u4"},
+    )
+    assert "error" in out
+    assert "2" in out["error"]  # 1-based row number in the message
+    # error event published on the progress channel (Website.java:171-176)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("GET", "/api/progress?uploadId=u4")
+    evs = json.loads(conn.getresponse().read())["events"]
+    conn.close()
+    assert any(e["action"] == "error" for e in evs)
+
+
+def test_unsupported_extension(server):
+    out = _post_upload(
+        server.port, "data.pdf", b"%PDF", {"index": "x", "uploadId": "u5"}
+    )
+    assert "error" in out
+
+
+def test_index_lock_pins_default_index(spark, tmp_path):
+    cfg = EngineConfig(
+        warehouse=str(tmp_path), n_buckets=4, block_size=8,
+        shuffle_partitions=4, default_index="locked", index_lock=True,
+    )
+    srv = UploadServer(spark, cfg)
+    srv.start_background()
+    try:
+        out = _post_upload(
+            srv.port, "d.csv", CSV.encode(),
+            {"index": "evil", "offset": "1", "uploadId": "u6"},
+        )
+        # Website.java:141-143: locked -> the requested index is ignored
+        assert out["index"] == "locked"
+        assert os.path.isdir(os.path.join(str(tmp_path), "locked"))
+        assert not os.path.isdir(os.path.join(str(tmp_path), "evil"))
+    finally:
+        srv.shutdown()
+
+
+# ---------------------------------------------------------------- websocket
+
+
+class _BufSock:
+    """Client-side socket with a pushback buffer: bytes read past the
+    handshake (the welcome frame can arrive glued to the 101) are not
+    lost."""
+
+    def __init__(self, s: socket.socket, rest: bytes = b""):
+        self._s = s
+        self._buf = rest
+
+    def recv(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        return self._s.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        self._s.sendall(data)
+
+    def close(self) -> None:
+        self._s.close()
+
+
+def _ws_connect(port: int) -> _BufSock:
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    key = "dGhlIHNhbXBsZSBub25jZQ=="
+    s.sendall(
+        (
+            "GET /ws HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n"
+            "Connection: Upgrade\r\nSec-WebSocket-Version: 13\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(4096)
+    head, rest = buf.split(b"\r\n\r\n", 1)
+    head = head.decode()
+    assert "101" in head.splitlines()[0]
+    # RFC 6455 accept key for the fixed sample nonce
+    assert "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=" in head
+    return _BufSock(s, rest)
+
+
+def _ws_send_text(s: socket.socket, payload: str) -> None:
+    data = payload.encode()
+    mask = b"\x01\x02\x03\x04"  # client frames must be masked
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    assert len(data) < 126
+    s.sendall(b"\x81" + bytes([0x80 | len(data)]) + mask + masked)
+
+
+def test_websocket_progress_channel(server):
+    # import first; the bus replays history to new subscribers, so the
+    # whole event sequence is still observable post-hoc
+    out = _post_upload(
+        server.port, "ws.csv", CSV.encode(),
+        {"index": "wsidx", "offset": "1", "uploadId": "ws1"},
+    )
+    assert out["imported"] == 3
+
+    s = _ws_connect(server.port)
+    op, data = ws_read_frame(s)
+    assert op == 1
+    welcome = json.loads(data)
+    assert "websocket connected to excelastic-spark" in welcome["message"]
+
+    _ws_send_text(s, json.dumps({"uploadId": "ws1"}))
+    events = []
+    while True:
+        frame = ws_read_frame(s)
+        assert frame is not None
+        op, data = frame
+        ev = json.loads(data)
+        events.append(ev)
+        if ev.get("action") == "done":
+            break
+    actions = [e["action"] for e in events]
+    assert actions[0] == "verify"  # sendParsingEvent, Website.java:222-226
+    assert "import" in actions and actions[-1] == "done"
+    progress = [e["progress"] for e in events]
+    assert progress == sorted(progress) and progress[-1] == 100.0
+    assert events[-1]["imported"] == 3
+    assert all(e["uploadId"] == "ws1" for e in events)
+    # close handshake
+    s.sendall(b"\x88\x80\x01\x02\x03\x04")
+    s.close()
+
+
+def test_websocket_ping_and_other_upload_filtered(server):
+    _post_upload(
+        server.port, "o1.csv", CSV.encode(),
+        {"index": "f1idx", "offset": "1", "uploadId": "mine"},
+    )
+    _post_upload(
+        server.port, "o2.csv", CSV.encode(),
+        {"index": "f2idx", "offset": "1", "uploadId": "theirs"},
+    )
+    s = _ws_connect(server.port)
+    ws_read_frame(s)  # welcome
+    # ping -> pong
+    s.sendall(b"\x89\x80\x01\x02\x03\x04")
+    op, data = ws_read_frame(s)
+    assert op == 10
+    _ws_send_text(s, json.dumps({"uploadId": "mine"}))
+    seen = []
+    while True:
+        op, data = ws_read_frame(s)
+        ev = json.loads(data)
+        seen.append(ev)
+        if ev.get("action") == "done":
+            break
+    # only the subscribed upload's events arrive (Website.java:101-109)
+    assert all(e["uploadId"] == "mine" for e in seen)
+    s.close()
+
+
+def test_long_poll_incremental(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("GET", "/api/progress?uploadId=ws1")
+    evs = json.loads(conn.getresponse().read())["events"]
+    assert [e["action"] for e in evs][-1] == "done"
+    last = evs[-1]["seq"]
+    conn.request("GET", f"/api/progress?uploadId=ws1&after={last}")
+    assert json.loads(conn.getresponse().read())["events"] == []
+    conn.close()
