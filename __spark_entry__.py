@@ -234,6 +234,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_shingle_stats(spark, sf_dir):
+    """Persisted boilerplate-df surface (functions/dedup.shingle_df_stats):
+    computed once per corpus snapshot, reused by the df-capped dedup
+    operators via shingle_stats= instead of a per-call corpus recount.
+    Gate returns the sdf>=3 slice (the boilerplate tail the caps act on)."""
+    from excelastic_spark.functions.dedup import shingle_df_stats
+
+    return shingle_df_stats(_docs(spark, sf_dir), "text", k=3).filter(
+        F.col("sdf") >= 3
+    )
+
+
 def _q_minhash(spark, sf_dir):
     from excelastic_spark.functions.dedup import minhash_lsh_candidates
 
@@ -768,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _q_rolling_fp,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
+        "shingle_stats": _q_shingle_stats,
         "minhash_lsh": _q_minhash,
         "simhash_near_dup": _q_simhash,
         "embed_cosine_topk": _q_embed_topk,
@@ -915,6 +928,16 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(floor(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) * 1e6 + 0.5) AS BIGINT) >= 100000
+""",
+        "shingle_stats": f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, u.s
+  FROM toks,
+       unnest(list_transform(range(greatest(len(t) - 2, 0)),
+              i -> array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS u(s)
+)
+SELECT s AS shingle, count(*) AS sdf FROM sh GROUP BY 1 HAVING count(*) >= 3
 """,
         "minhash_lsh": _minhash_sql(num_hashes=16, bands=4, cap=SHINGLE_CAP),
         "simhash_near_dup": _simhash_sql(max_hamming=16),

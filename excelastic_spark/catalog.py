@@ -117,6 +117,7 @@ class IndexStore:
         self,
         writes: list[tuple[str, str, str]],
         stages: dict[str, dict[str, Any]] | None = None,
+        config: dict[str, Any] | None = None,
     ) -> None:
         """Publish staged table writes + stage entries in ONE atomic
         manifest swap — the Iceberg multi-table-transaction analog. A
@@ -145,6 +146,11 @@ class IndexStore:
                 )
             for stage, entry in (stages or {}).items():
                 m["stages"][stage] = {"ts": time.time(), **entry}
+            if config is not None:
+                # layout persisted atomically WITH the tables it describes
+                # (an increment creating a fresh index must not publish data
+                # whose layout params a later session cannot recover)
+                m["config"] = config
             self._commit_manifest(m)
 
     def write_table(

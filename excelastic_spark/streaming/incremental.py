@@ -236,8 +236,12 @@ class IncrementalIndexer:
         ))
 
         # ---- single atomic publish: segments + terms + stats + totals
+        # (+ layout config when this increment CREATES the index — e.g.
+        # streaming into a fresh drop-dir index — so later query/append
+        # sessions recover the same bucket/salt/block layout)
         store.commit_snapshot(
             writes,
+            config=(None if store.load_config() else cfg.layout_dict()),
             stages={
                 "totals": {
                     "fingerprint": "append",

@@ -78,6 +78,20 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("merge", help="compact postings segments")
     sub.add_parser("stats", help="print collection stats + stage metrics")
 
+    st = sub.add_parser(
+        "stream",
+        help="Structured Streaming ingest: corpus parquet files landing in "
+        "--input are appended to the index exactly once (file-source + "
+        "foreachBatch; checkpoint tracks consumed files)",
+    )
+    st.add_argument("--input", required=True, help="drop directory to watch")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument(
+        "--follow", action="store_true",
+        help="keep watching for new files (default: drain what is "
+        "available now and exit — trigger availableNow)",
+    )
+
     w = sub.add_parser(
         "serve",
         help="web upload surface + websocket/long-poll progress channel "
@@ -164,6 +178,15 @@ def main(argv: list[str] | None = None) -> int:
         from excelastic_spark.streaming.incremental import IncrementalIndexer
 
         print(json.dumps(IncrementalIndexer(spark, store, cfg).merge_segments(), default=str))
+    elif args.cmd == "stream":
+        from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+        inc = IncrementalIndexer(spark, store, cfg)
+        q = inc.stream_from_directory(
+            args.input, args.checkpoint, trigger_once=not args.follow
+        )
+        q.awaitTermination()
+        print(json.dumps(store.read_table(spark, "stats").collect()[0].asDict()))
     elif args.cmd == "stats":
         st = store.read_table(spark, "stats").collect()[0].asDict()
         print(json.dumps(st))

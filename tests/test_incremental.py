@@ -83,6 +83,9 @@ def test_streaming_ingest(spark, tmp_path):
     q = inc.stream_from_directory(indir, ckpt, trigger_once=True)
     q.awaitTermination(300)
     assert store.read_table(spark, "docs").count() == 80
+    # an increment that CREATED the index persists its layout atomically
+    # with the data, so later sessions recover bucket/salt/block params
+    assert store.load_config() == CFG.layout_dict()
     _assert_matches_oracle(spark, store)
 
     # second batch of files: exactly-once (old files not reprocessed)
@@ -232,7 +235,7 @@ def test_append_crash_before_commit_is_retryable(spark, tmp_path, monkeypatch):
 
     orig = Store.commit_snapshot
 
-    def boom(self, writes, stages=None):
+    def boom(self, writes, stages=None, config=None):
         raise RuntimeError("injected crash before the atomic publish")
 
     monkeypatch.setattr(Store, "commit_snapshot", boom)
@@ -258,4 +261,40 @@ def test_append_crash_before_commit_is_retryable(spark, tmp_path, monkeypatch):
     inc.append_increment(more)
     assert store.read_table(spark, "docs").count() == 100
     assert store.read_table(spark, "stats").collect()[0]["n_docs"] == 100
+    _assert_matches_oracle(spark, store)
+
+
+def test_cli_stream_subcommand(spark, tmp_path):
+    """`index.py stream` drains a drop directory exactly once per file
+    (availableNow trigger + streaming checkpoint), across separate CLI
+    invocations — the reference's continuous-upload journey as a batch
+    drain (SURVEY §2A A20 / §2B B11)."""
+    import json as _json
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    indir, ckpt, wh = (str(tmp_path / d) for d in ("in", "ckpt", "wh"))
+    synthesize_corpus(spark, 60, partitions=2).write.mode("append").parquet(indir)
+
+    def run_stream():
+        out = subprocess.run(
+            [_sys.executable, "index.py", "--warehouse", wh, "--name", "s",
+             "--master", "local[2]", "stream", "--input", indir,
+             "--checkpoint", ckpt],
+            capture_output=True, text=True, cwd=repo, timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert run_stream()["n_docs"] == 60
+    # more files land; a second drain appends ONLY the new ones
+    synthesize_corpus(spark, 30, partitions=1, seed=7).withColumn(
+        "path", F.concat(F.lit("later/"), F.col("path"))
+    ).write.mode("append").parquet(indir)
+    assert run_stream()["n_docs"] == 90
+
+    store = IndexStore(wh, "s")
+    assert store.read_table(spark, "docs").count() == 90
     _assert_matches_oracle(spark, store)
