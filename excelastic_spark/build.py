@@ -257,7 +257,21 @@ def encode_postings(
     subset of the terms table), ONE (term, salt) shuffle into the sorted-run
     vectorized encoder, then align rows with the bucket partition dirs.
     Used by the full build, the shard builder, the incremental appender and
-    the segment merge — one tested kernel, four call sites."""
+    the segment merge — one tested kernel, four call sites.
+
+    The final bucket repartition is a second exchange, but of the COMPRESSED
+    postings bytes (orders of magnitude smaller than the triples the first
+    shuffle moves), and AQE coalesces it to n_buckets small partitions; it
+    buys one term-dense file per bucket dir, which the pyarrow query path
+    prunes with a single footer read. The single-shuffle alternative
+    (repartitionByRange(bucket, term, salt) + direct partitionBy write) was
+    measured head-to-head (r3, 300k docs x 3 interleaved reps): build times
+    statistically equal (range's sampling pass costs what the dropped
+    exchange saves), query p50 equal, 3x the files — rejected. A
+    sortWithinPartitions(term)+2MB-row-group layout was also probed for
+    row-group stats pruning on the pyarrow lookup path: only ~10% lookup
+    improvement (hot-term queries are dominated by reading the posting
+    bytes they genuinely need, which no layout avoids) — also rejected."""
     hot = terms.filter(F.col("n_salts") > 1).select("term", "n_salts")
     salted = (
         triples.join(F.broadcast(hot), "term", "left")
