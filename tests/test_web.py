@@ -143,6 +143,29 @@ def test_upload_xlsx_with_offset(server, spark):
     assert len(hits) == 1
 
 
+def test_upload_xls_biff(server, spark):
+    """.xls uploads go through the BIFF8/CFB reader (ExcelParser.java's
+    HSSF branch) on the same web journey as .xlsx."""
+    from excelastic_spark.sources.biff import write_xls
+
+    path = os.path.join(server.cfg.warehouse, "fixture.xls")
+    write_xls(path, ["city", "pop"], [["tromso", 4], ["narvik", 2]], offset=2)
+    with open(path, "rb") as f:
+        payload = f.read()
+    out = _post_upload(
+        server.port, "cities.xls", payload,
+        {"index": "xlsidx", "offset": "2", "uploadId": "u3b"},
+    )
+    assert out == {"index": "xlsidx", "file": "cities.xls", "imported": 2}
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.query import QueryEngine
+
+    store = IndexStore(server.cfg.warehouse, "xlsidx")
+    cfg = EngineConfig.from_store(store, base=server.cfg)
+    hits = QueryEngine(spark, store, cfg).search(["tromso"], "or", 5).to_pandas()
+    assert len(hits) == 1
+
+
 def test_no_file_is_error(server):
     boundary = "b0"
     body = (
