@@ -186,7 +186,10 @@ def main(argv: list[str] | None = None) -> int:
             args.input, args.checkpoint, trigger_once=not args.follow
         )
         q.awaitTermination()
-        print(json.dumps(store.read_table(spark, "stats").collect()[0].asDict()))
+        if store.has_table("stats"):
+            print(json.dumps(store.read_table(spark, "stats").collect()[0].asDict()))
+        else:
+            print(json.dumps({"n_docs": 0, "note": "no input files consumed"}))
     elif args.cmd == "stats":
         st = store.read_table(spark, "stats").collect()[0].asDict()
         print(json.dumps(st))
