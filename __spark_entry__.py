@@ -256,10 +256,29 @@ def _q_minhash(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    """Wide-radius STRESS case (d=16 -> 3-4 bit band keys, candidate set
+    ~30% of all pairs): exercises the guardrail warning + verify volume."""
+    import warnings
+
+    from excelastic_spark.functions.dedup import simhash_near_dups
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # intentional stress
+        df = simhash_near_dups(
+            _docs(spark, sf_dir), "text", "doc_id", max_hamming=16
+        )
+    return df.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_simhash_d3(spark, sf_dir):
+    """The realistic web-dedup regime (Manku et al. 2007: d=3): 4 bands of
+    15 bits, band keys selective enough that candidates stay near-linear."""
     from excelastic_spark.functions.dedup import simhash_near_dups
 
     return simhash_near_dups(
-        _docs(spark, sf_dir), "text", "doc_id", max_hamming=16
+        _docs(spark, sf_dir), "text", "doc_id", max_hamming=3
     ).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -783,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_stats": _q_shingle_stats,
         "minhash_lsh": _q_minhash,
         "simhash_near_dup": _q_simhash,
+        "simhash_near_dup_d3": _q_simhash_d3,
         "embed_cosine_topk": _q_embed_topk,
         "ivf_topk": _q_ivf_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -941,6 +961,7 @@ SELECT s AS shingle, count(*) AS sdf FROM sh GROUP BY 1 HAVING count(*) >= 3
 """,
         "minhash_lsh": _minhash_sql(num_hashes=16, bands=4, cap=SHINGLE_CAP),
         "simhash_near_dup": _simhash_sql(max_hamming=16),
+        "simhash_near_dup_d3": _simhash_sql(max_hamming=3),
         "lsh_near_dup": _lsh_near_dup_sql(
             threshold=0.4, n_planes=8, n_tables=6
         ),

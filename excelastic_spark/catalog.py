@@ -166,15 +166,25 @@ class IndexStore:
         self.commit_snapshot([(table, path, mode)])
         return path
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_sec: float = 3600.0) -> list[str]:
         """Remove snapshot dirs not referenced by the manifest (orphans from
-        crashed multi-table transactions). Returns the removed paths."""
+        crashed multi-table transactions). Returns the removed paths.
+
+        ``grace_sec``: unreferenced dirs whose mtime is younger than this
+        are skipped — staging is unregistered (only the manifest swap is
+        locked), so a concurrent append in another thread/process may have
+        dirs staged-but-not-yet-published; deleting those would leave the
+        append's freshly committed manifest pointing at missing paths. An
+        in-flight stage is minutes old at most; a crash orphan survives one
+        grace window and is reclaimed by the next vacuum. Pass 0 only when
+        no concurrent writers can exist (tests, offline maintenance)."""
         import shutil
 
         m = self.manifest()
         live: set[str] = set()
         for loc in m["tables"].values():
             live.update(loc if isinstance(loc, list) else [loc])
+        now = time.time()
         removed = []
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
@@ -182,9 +192,16 @@ class IndexStore:
                 continue
             for snap in os.listdir(tdir):
                 p = os.path.join(tdir, snap)
-                if snap.startswith("snap-") and p not in live:
-                    shutil.rmtree(p, ignore_errors=True)
-                    removed.append(p)
+                if not snap.startswith("snap-") or p in live:
+                    continue
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # already gone (concurrent vacuum)
+                if age < grace_sec:
+                    continue  # possibly an in-flight stage — keep
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
         return removed
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:

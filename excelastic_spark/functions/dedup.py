@@ -20,6 +20,8 @@ df-capped like hot terms in build.py).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -335,6 +337,11 @@ def simhash_bands(max_hamming: int, n_bits: int = 60) -> list[tuple[int, int]]:
     return out
 
 
+#: band keys narrower than this many bits make the candidate join
+#: degenerate toward all-pairs (2^w distinct bucket values per band)
+WIDE_RADIUS_MIN_BITS = 8
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -344,10 +351,43 @@ def simhash_near_dups(
     """Near-dup pairs by simhash hamming distance. Candidate generation
     blocks on ``max_hamming + 1`` bands of the fingerprint (see
     :func:`simhash_bands` — recall 1.0 guaranteed up to the requested
-    radius); verification = exact popcount. Note the scale trade-off is
-    explicit in the banding: larger radii mean narrower keys and more
-    candidates to verify. Token-less docs are excluded (their fingerprint
-    is degenerate 0; exact dedup covers them)."""
+    radius); verification = exact popcount. Token-less docs are excluded
+    (their fingerprint is degenerate 0; exact dedup covers them).
+
+    Scale guardrail: the banding trade-off is radius-driven — d+1 bands of
+    a 60-bit fingerprint have width ``~60/(d+1)`` bits, so a wide radius
+    (d >= ~7) gives band keys with few distinct values and the candidate
+    equi-join degenerates toward all-pairs (at d=16 on uniform data ~30%
+    of all pairs become candidates). The realistic near-dup regime is
+    d <= 3 (Manku et al. WWW'07 use d=3 on 64 bits / 8B docs). A wide
+    radius still computes the exact answer, but a UserWarning makes the
+    quadratic-candidate cost explicit instead of silent."""
+    narrowest = min(w for _, w in simhash_bands(max_hamming))
+    if narrowest < WIDE_RADIUS_MIN_BITS:
+        warnings.warn(
+            f"simhash_near_dups(max_hamming={max_hamming}) bands the "
+            f"fingerprint into {max_hamming + 1} blocks of >= {narrowest} "
+            f"bits; keys narrower than {WIDE_RADIUS_MIN_BITS} bits make the "
+            "candidate join approach all-pairs (O(n^2/2^w) per band). "
+            "Use max_hamming <= 3 for web-scale dedup (Manku et al. 2007).",
+            UserWarning,
+            stacklevel=2,
+        )
+    pairs = simhash_candidate_pairs(df, text_col, id_col, max_hamming)
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Banded candidate generation WITHOUT the final radius filter:
+    (id_a, id_b, hamming) for every pair sharing >= 1 band key. Exposed so
+    the candidate-volume-vs-radius trade-off is measurable (the guardrail's
+    property test); :func:`simhash_near_dups` is this + the exact-popcount
+    radius filter."""
     fp = df.select(
         F.col(id_col), simhash64(F.col(text_col)).alias("fp")
     ).filter(F.size(tokens_col(F.col(text_col))) > 0)
@@ -370,7 +410,7 @@ def simhash_near_dups(
         ).alias("bd"),
     ).select(id_col, "fp", "bd.band", "bd.key")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -384,7 +424,6 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -76,16 +76,35 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (cosine). ``centroids``
     are (centroid_id, vector) — deterministic (e.g. fixed training sample).
-    Broadcast-free: centroids are literal expressions folded into the plan."""
-    best_id = F.lit(-1)
-    best_sim = F.lit(-2.0)
-    for cid, cvec in centroids:
-        sim = cosine_col(F.col(vec_col), _lit_vec(cvec))
-        cond = sim > best_sim
-        best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(cond, sim).otherwise(best_sim)
-    return emb.select(
-        F.col(id_col), F.col(vec_col), best_id.alias("cell")
+    Ties break toward the smallest centroid id (ORDER BY sim DESC, cid ASC
+    — the same rule the SQL oracle's row_number() uses).
+
+    Scale design: the centroids are a BROADCAST DataFrame cross-joined
+    against the vectors, so plan size is O(1) in the number of cells — a
+    real IVF build uses thousands of centroids, and folding each one in as
+    a literal array inside a nested when-chain is a Catalyst plan-size /
+    codegen killer (the literal-fold anti-pattern). The per-vector argmax
+    is a groupBy with map-side partial aggregation; the broadcast join
+    itself is a narrow map over the vector table."""
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [float(v) for v in cvec]) for cid, cvec in centroids],
+        schema="cid int, cvec array<double>",
+    )
+    sim = cosine_col(F.col(vec_col), F.col("cvec"))
+    scored = emb.join(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            sim.alias("sim"),
+            (-F.col("cid")).alias("neg_cid"),  # max() -> smallest cid on ties
+            F.col("cid").alias("cid"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max("sc").alias("best"))
+        .select(F.col(id_col), F.col(vec_col), F.col("best.cid").alias("cell"))
     )
 
 

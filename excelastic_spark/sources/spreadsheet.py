@@ -176,47 +176,57 @@ def read_typed(
         F.input_file_block_start().alias("_bs"),
         F.input_file_name().alias("_fn"),
     )
-    parts = (
-        idx.groupBy("_pid")
+    # The numbering unit is a (partition, block) group, not the whole
+    # partition: a bin-packed partition holding several blocks of the SAME
+    # file (legitimate for files > maxPartitionBytes) reads each block as
+    # one contiguous run, so ``_mid`` is consecutive within the group and
+    # ``line = cum_rows_before(block) + (mid - min_mid(block))`` with
+    # blocks ordered globally by byte offset — regardless of how blocks
+    # were packed into partitions (ADVICE r3: partition-level rejection
+    # spuriously refused bin-packed single-file scans).
+    blocks = (
+        idx.groupBy("_pid", "_bs")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("_mid").alias("m0"),
-            F.min("_bs").alias("b0"),
+            F.max("_mid").alias("m1"),
             F.min("_fn").alias("f0"),
             F.countDistinct("_fn").alias("nf"),
-            F.countDistinct("_bs").alias("nb"),
         )
         .collect()
     )
-    # The numbering below is only sound when every scan partition covers ONE
-    # contiguous byte range of ONE file. A dir/glob path (multiple files) or
-    # a bin-packed partition (several non-adjacent blocks) would silently
-    # misnumber rows — reject both explicitly rather than guess.
-    if len({r["f0"] for r in parts}) > 1 or any(r["nf"] > 1 for r in parts):
+    # Line numbers are file-relative: a dir/glob (multiple files) has no
+    # single numbering — reject explicitly rather than guess.
+    if len({r["f0"] for r in blocks}) > 1 or any(r["nf"] > 1 for r in blocks):
         raise ParserException(
             "read_typed expects a single CSV file (line numbers are "
             "file-relative); got a multi-file scan — read files individually"
         )
-    if any(r["nb"] > 1 for r in parts):
+    # Soundness guard for the consecutive-within-block assumption: a block
+    # read as one sequential run has exactly (m1 - m0 + 1) == n rows. A
+    # violation means the scan interleaved rows of different blocks inside
+    # one partition — misnumbering would be silent, so fail loudly.
+    if any(r["m1"] - r["m0"] + 1 != r["n"] for r in blocks):
         raise ParserException(
-            "read_typed scan packed multiple file blocks into one partition; "
-            "line-number recovery needs one contiguous block per partition"
+            "read_typed scan interleaved file blocks within a partition; "
+            "line-number recovery needs each block read as one contiguous run"
         )
-    # partitions keyed on (file, block_start) = line order
-    offsets: dict[int, tuple[int, int]] = {}
+    # blocks keyed on (pid, block_start), ordered by byte offset = line order
+    offsets: dict[str, tuple[int, int]] = {}
     acc = 0
-    for r in sorted(parts, key=lambda r: (r["f0"], r["b0"])):
-        offsets[r["_pid"]] = (acc, r["m0"])
+    for r in sorted(blocks, key=lambda r: r["_bs"]):
+        offsets[f"{r['_pid']}_{r['_bs']}"] = (acc, r["m0"])
         acc += r["n"]
+    key = F.concat_ws("_", F.col("_pid"), F.col("_bs"))
     base_map = F.create_map(
-        *[F.lit(x) for pid, (off, _) in offsets.items() for x in (pid, off)]
+        *[F.lit(x) for k, (off, _) in offsets.items() for x in (k, off)]
     )
     m0_map = F.create_map(
-        *[F.lit(x) for pid, (_, m0) in offsets.items() for x in (pid, m0)]
+        *[F.lit(x) for k, (_, m0) in offsets.items() for x in (k, m0)]
     )
     idx = idx.withColumn(
         "_rn",
-        base_map[F.col("_pid")] + (F.col("_mid") - m0_map[F.col("_pid")]) + 1,
+        base_map[key] + (F.col("_mid") - m0_map[key]) + 1,
     )
     header_row = idx.filter(F.col("_rn") == offset).collect()[0]
     names = _headers([header_row[c] or "" for c in raw.columns])

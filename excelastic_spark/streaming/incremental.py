@@ -35,6 +35,7 @@ merge restores the compact one-row-per-(term, salt) layout.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 from typing import Any
@@ -126,7 +127,10 @@ class IncrementalIndexer:
         }
 
     def append_increment(
-        self, increment: DataFrame, pre_ingested: bool = False
+        self,
+        increment: DataFrame,
+        pre_ingested: bool = False,
+        stream_batch: tuple[str, int] | None = None,
     ) -> dict[str, Any]:
         """One increment (corpus schema) -> new docs/triples/postings
         SEGMENTS + merged terms + advanced stats. O(increment + vocab):
@@ -137,6 +141,15 @@ class IncrementalIndexer:
         ``pre_ingested``: increment already carries doc_id + sha256; its
         doc_ids must all exceed the index's current max (doc-disjoint
         segments are what make append/merge/query correct).
+
+        ``stream_batch``: ``(checkpoint_id, batch_id)`` when called from a
+        Structured Streaming foreachBatch sink. The id pair is recorded in
+        the SAME atomic manifest swap as the data, which is what upgrades
+        foreachBatch's at-least-once to exactly-once: if the process dies
+        after this commit but before the streaming checkpoint advances, the
+        restarted drain re-offers the same batch_id and
+        :meth:`stream_batch_applied` tells the sink to skip it (the
+        standard idempotent-foreachBatch pattern).
 
         Crash safety: every table write is STAGED (snapshot dirs invisible
         to readers) and the whole append publishes in ONE manifest swap
@@ -239,19 +252,26 @@ class IncrementalIndexer:
         # (+ layout config when this increment CREATES the index — e.g.
         # streaming into a fresh drop-dir index — so later query/append
         # sessions recover the same bucket/salt/block layout)
+        stages: dict[str, dict[str, Any]] = {
+            "totals": {
+                "fingerprint": "append",
+                "n_docs": n_docs,
+                "total_tf": total_tf,
+                "max_doc_id": (
+                    int(seg_agg["max_id"]) if inc_docs else tot["max_doc_id"]
+                ),
+            }
+        }
+        if stream_batch is not None:
+            ckpt, batch_id = stream_batch
+            stages["stream"] = {
+                "fingerprint": str(ckpt),
+                "last_batch_id": int(batch_id),
+            }
         store.commit_snapshot(
             writes,
             config=(None if store.load_config() else cfg.layout_dict()),
-            stages={
-                "totals": {
-                    "fingerprint": "append",
-                    "n_docs": n_docs,
-                    "total_tf": total_tf,
-                    "max_doc_id": (
-                        int(seg_agg["max_id"]) if inc_docs else tot["max_doc_id"]
-                    ),
-                }
-            },
+            stages=stages,
         )
         rec = self.store.log_metrics(
             "append", n_new_docs=inc_docs, new_tokens=inc_tf,
@@ -301,25 +321,51 @@ class IncrementalIndexer:
 
     # ---------------------------------------------------------- streaming
 
-    def stream_from_directory(
-        self, input_dir: str, checkpoint_dir: str, trigger_once: bool = True
-    ):
-        """Structured Streaming file-source ingest: new corpus parquet files
-        landing in ``input_dir`` are appended to the index exactly once
-        (streaming checkpoint tracks consumed files). foreachBatch bridges
-        to the deterministic batch kernels."""
-        stream = (
-            self.spark.readStream.schema(CORPUS_SCHEMA)
-            .parquet(input_dir)
+    def stream_batch_applied(self, checkpoint_id: str, batch_id: int) -> bool:
+        """True when this (checkpoint, batch) pair has already been
+        committed to the manifest — i.e. a foreachBatch replay after a
+        crash between the manifest commit and the streaming-checkpoint
+        commit. A different checkpoint id is a different stream and never
+        matches (its batch numbering restarts)."""
+        st = self.store.manifest()["stages"].get("stream")
+        return (
+            bool(st)
+            and st.get("fingerprint") == str(checkpoint_id)
+            and int(batch_id) <= int(st.get("last_batch_id", -1))
         )
+
+    def make_stream_processor(self, checkpoint_dir: str):
+        """The foreachBatch sink body, exposed so tests can replay a batch
+        id and observe the idempotent skip."""
+        ckpt = os.path.abspath(checkpoint_dir)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.append_increment(batch_df)
+            if self.stream_batch_applied(ckpt, batch_id):
+                return  # replay of a batch whose append already committed
+            self.append_increment(batch_df, stream_batch=(ckpt, int(batch_id)))
 
+        return process
+
+    def stream_from_directory(
+        self, input_dir: str, checkpoint_dir: str, trigger_once: bool = True
+    ):
+        """Structured Streaming file-source ingest: new corpus parquet files
+        landing in ``input_dir`` are appended to the index exactly once.
+        The streaming checkpoint tracks consumed files (at-least-once);
+        recording the applied batch_id inside append_increment's atomic
+        manifest swap and skipping already-applied ids on replay closes the
+        crash window between the two commits, making the sink idempotent
+        per batch and the pipeline exactly-once end-to-end."""
+        stream = (
+            self.spark.readStream.schema(CORPUS_SCHEMA)
+            .parquet(input_dir)
+        )
         writer = (
-            stream.writeStream.foreachBatch(process)
+            stream.writeStream.foreachBatch(
+                self.make_stream_processor(checkpoint_dir)
+            )
             .option("checkpointLocation", checkpoint_dir)
         )
         if trigger_once:

@@ -73,11 +73,16 @@ NO_FILE_WAS_UPLOADED = "No file was uploaded."  # Website.java:40
 
 
 class ProgressBus:
-    def __init__(self, history: int = 256):
+    def __init__(self, history: int = 256, max_uploads: int = 256):
         self._lock = threading.Lock()
         self._events: dict[str, list[dict]] = {}
         self._subs: dict[str, list[queue.Queue]] = {}
         self._history = history
+        # LRU cap on tracked upload ids: a long-running server must not
+        # retain per-upload history forever (unbounded-memory vector on a
+        # non-loopback bind). Oldest subscriber-less uploads are evicted
+        # once the cap is exceeded; live subscriptions are never dropped.
+        self._max_uploads = max_uploads
         self._seq = 0
 
     def publish(self, upload_id: str, action: str, progress: float, **extra):
@@ -90,11 +95,19 @@ class ProgressBus:
                 "seq": self._seq,
                 **extra,
             }
-            hist = self._events.setdefault(upload_id, [])
+            hist = self._events.pop(upload_id, [])
             hist.append(ev)
             del hist[: -self._history]
+            self._events[upload_id] = hist  # re-insert -> LRU order
             for q in self._subs.get(upload_id, []):
                 q.put(ev)
+            while len(self._events) > self._max_uploads:
+                victim = next(
+                    (u for u in self._events if not self._subs.get(u)), None
+                )
+                if victim is None:  # every tracked upload has a live sub
+                    break
+                del self._events[victim]
         return ev
 
     def subscribe(self, upload_id: str) -> queue.Queue:
@@ -349,6 +362,49 @@ class _Handler(BaseHTTPRequestHandler):
         qs = parse_qs(urlsplit(self.path).query)
         return {k: v[0] for k, v in qs.items()}
 
+    def _wants_html(self) -> bool:
+        """Browser form posts send Accept: text/html; API clients get the
+        JSON view model for the same template context."""
+        return "text/html" in self.headers.get("Accept", "")
+
+    def _html(self, body: str, status: int = 200) -> None:
+        data = body.encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _done_view(self, index: str, filename: str, imported: int) -> str:
+        """The done view (templates/done.jade: 'Success!' + imported rows
+        sentence + ANOTHER FILE link), rendered from the same context the
+        reference injects (Website.java:164-170)."""
+        ctx = self.server.template_context()
+        return (
+            "<html><head><title>excelastic {version}</title></head><body>"
+            "<h1>Success!</h1>"
+            "<p>Imported {imported} rows from '{file}' into '{index}' "
+            "successfully. <a href='/'>ANOTHER FILE</a></p>"
+            "</body></html>"
+        ).format(
+            version=ctx["version"], imported=imported, file=filename,
+            index=index,
+        )
+
+    def _error_view(self, message: str) -> str:
+        """The error view (templates/error.jade: heading + pre message +
+        TRY ANOTHER FILE link), same 200-status reroute the reference uses
+        (Website.java:171-176 rerouts to ERROR with the message)."""
+        import html as _html_mod
+
+        return (
+            "<html><head><title>excelastic error</title></head><body>"
+            "<h1>There was an error uploading the file</h1>"
+            f"<pre>{_html_mod.escape(message)}</pre>"
+            "<p><a href='/'>TRY ANOTHER FILE</a></p>"
+            "</body></html>"
+        )
+
     # ----------------------------------------------------------------- GET
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
@@ -402,7 +458,33 @@ class _Handler(BaseHTTPRequestHandler):
             return
         from excelastic_spark.sources.spreadsheet import ParserException
 
+        def fail(upload_id: str, message: str) -> None:
+            # reroute(ERROR): a terminal 'error' event for subscribers AND
+            # the 200 + error view (Website.java:171-176) — EVERY failure
+            # path must land here, or websocket/long-poll clients for that
+            # uploadId wait forever for a done/error event
+            self.server.bus.publish(upload_id, "error", 0.0, message=message)
+            if self._wants_html():
+                self._html(self._error_view(message))
+            else:
+                self._json({"error": message})
+
         length = int(self.headers.get("Content-Length", "0") or "0")
+        max_bytes = self.server.max_upload_bytes
+        if length > max_bytes:
+            # reject BEFORE reading the body into memory (the reference's
+            # BodyHandler spools to disk; this server is in-RAM, so the cap
+            # is the memory-safety bound for non-loopback binds)
+            upload_id = self._params().get("uploadId", "")
+            fail(
+                upload_id,
+                f"Upload of {length} bytes exceeds the maximum upload size "
+                f"of {max_bytes} bytes.",
+            )
+            # the request body was never drained: the keep-alive stream is
+            # desynchronized, so this connection must close after the reply
+            self.close_connection = True
+            return
         body = self.rfile.read(length) if length else b""
         ctype = self.headers.get("Content-Type", "")
         fields: dict[str, str] = {}
@@ -413,7 +495,10 @@ class _Handler(BaseHTTPRequestHandler):
 
         if not files:
             # reroute(ERROR) with 200 + message (Website.java:146-149)
-            self._json({"error": NO_FILE_WAS_UPLOADED})
+            if self._wants_html():
+                self._html(self._error_view(NO_FILE_WAS_UPLOADED))
+            else:
+                self._json({"error": NO_FILE_WAS_UPLOADED})
             return
         filename, payload = files[0]  # first upload only, like the reference
         event = ImportEvent(index="", upload_id=params.get("uploadId", ""))
@@ -427,16 +512,22 @@ class _Handler(BaseHTTPRequestHandler):
             )
             imported = self.server.service.import_file(payload, filename, event)
         except (ParserException, ValueError) as e:
-            # reroute(ERROR): full message to the client (Website.java:171-176)
-            self.server.bus.publish(
-                event.upload_id, "error", 0.0, message=str(e)
-            )
-            self._json({"error": f"{type(e).__name__}: {e}"})
+            fail(event.upload_id, f"{type(e).__name__}: {e}")
+            return
+        except Exception as e:  # noqa: BLE001 — the reference routes ALL
+            # import failures through reroute(ERROR); a Spark
+            # AnalysisException / Py4J error / OSError mid-build must
+            # produce the error view + terminal event, not a dropped
+            # connection and a forever-waiting subscriber
+            fail(event.upload_id, f"{type(e).__name__}: {e}")
             return
         # the done view model (Website.java:164-170)
-        self._json(
-            {"index": event.index, "file": filename, "imported": imported}
-        )
+        if self._wants_html():
+            self._html(self._done_view(event.index, filename, imported))
+        else:
+            self._json(
+                {"index": event.index, "file": filename, "imported": imported}
+            )
 
     # ----------------------------------------------------------- websocket
 
@@ -537,12 +628,13 @@ class UploadServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, spark, cfg=None, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, max_upload_bytes: int = 256 << 20):
         from excelastic_spark.config import EngineConfig
 
         self.cfg = cfg or EngineConfig()
         self.bus = ProgressBus()
         self.service = UploadService(spark, self.cfg, self.bus)
+        self.max_upload_bytes = max_upload_bytes
         super().__init__((host, port), _Handler)
 
     def template_context(self) -> dict[str, Any]:

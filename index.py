@@ -82,7 +82,8 @@ def main(argv: list[str] | None = None) -> int:
         "stream",
         help="Structured Streaming ingest: corpus parquet files landing in "
         "--input are appended to the index exactly once (file-source + "
-        "foreachBatch; checkpoint tracks consumed files)",
+        "idempotent foreachBatch: the applied batch_id commits atomically "
+        "with the data, so a crash-replayed batch is skipped)",
     )
     st.add_argument("--input", required=True, help="drop directory to watch")
     st.add_argument("--checkpoint", required=True)

@@ -116,6 +116,46 @@ def test_simhash_near_dups_recall_is_exact(docs):
         assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == truth, d
 
 
+def test_simhash_wide_radius_guardrail(spark):
+    """VERDICT r3 #2: wide radii shrink band keys until the candidate join
+    degenerates toward all-pairs. The operator must (a) WARN when band keys
+    fall below 8 bits and stay silent in the realistic d<=3 regime, and
+    (b) the measured candidate-pair ratio must actually collapse from the
+    d=16 stress case to the d=3 regime on uniform-ish data."""
+    import warnings
+
+    from excelastic_spark.functions.dedup import (
+        simhash_candidate_pairs,
+        simhash_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(rng.choice(words, size=12, replace=False)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        simhash_near_dups(docs, "text", "doc_id", max_hamming=3).count()
+    assert not [w for w in caught if issubclass(w.category, UserWarning)]
+
+    with pytest.warns(UserWarning, match="all-pairs"):
+        simhash_near_dups(docs, "text", "doc_id", max_hamming=16).count()
+
+    n = 60
+    all_pairs = n * (n - 1) / 2
+    cand_wide = simhash_candidate_pairs(docs, "text", "doc_id", 16).count()
+    cand_narrow = simhash_candidate_pairs(docs, "text", "doc_id", 3).count()
+    # d=16 -> 17 bands of 3-4 bits: a large fraction of all pairs collide;
+    # d=3 -> 4 bands of 15 bits: candidates stay a small fraction
+    assert cand_wide / all_pairs > 0.1, cand_wide
+    assert cand_narrow / all_pairs < 0.05, cand_narrow
+    assert cand_narrow < cand_wide / 5
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.default_rng(3)

@@ -97,6 +97,28 @@ def test_streaming_ingest(spark, tmp_path):
     assert store.read_table(spark, "docs").count() == 120
     _assert_matches_oracle(spark, store)
 
+    # -- idempotent replay: foreachBatch is at-least-once; a crash between
+    # the manifest commit and the streaming-checkpoint commit re-offers the
+    # same batch_id on restart. The sink must skip it (the batch_id was
+    # recorded inside append_increment's atomic manifest swap), so docs /
+    # n_docs / total_tf do not double-count.
+    import os
+
+    st = store.manifest()["stages"]["stream"]
+    assert st["fingerprint"] == os.path.abspath(ckpt)
+    last = st["last_batch_id"]
+    totals_before = store.manifest()["stages"]["totals"]
+    replay_df = spark.read.parquet(indir)
+    process = inc.make_stream_processor(ckpt)
+    process(replay_df, last)  # replayed batch -> skipped
+    assert store.read_table(spark, "docs").count() == 120
+    assert store.manifest()["stages"]["totals"] == totals_before
+    # a genuinely NEW batch id still applies (the guard is <=, not ==)
+    assert not inc.stream_batch_applied(os.path.abspath(ckpt), last + 1)
+    # and a different checkpoint is a different stream: batch 0 of a fresh
+    # checkpoint must not be confused with this stream's committed batch 0
+    assert not inc.stream_batch_applied(str(tmp_path / "other_ckpt"), 0)
+
 
 def _drop_table_from_manifest(store, table):
     with store._commit_lock():
@@ -252,8 +274,12 @@ def test_append_crash_before_commit_is_retryable(spark, tmp_path, monkeypatch):
     )
     assert terms_after.equals(terms_before)
 
-    # orphan staged dirs are reclaimable and harmless
-    removed = store.vacuum()
+    # orphan staged dirs are reclaimable and harmless — but the default
+    # grace period protects dirs young enough to be a concurrent append's
+    # in-flight staging (ADVICE r3: vacuum during an in-flight append must
+    # not delete paths the append is about to publish)
+    assert store.vacuum() == []  # fresh orphans are within the grace window
+    removed = store.vacuum(grace_sec=0)  # offline maintenance: reclaim now
     assert removed  # the crashed attempt left staged snapshots behind
     _assert_matches_oracle(spark, store)
 

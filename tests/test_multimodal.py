@@ -115,6 +115,52 @@ def test_video_features_real():
         assert abs(f[4 + i] - gray[i].mean()) < 1e-6
 
 
+def test_compressed_video_seam_raises_without_ffmpeg():
+    """With no ffmpeg on PATH, a compressed payload fails loudly at the
+    documented seam instead of silently degrading."""
+    from excelastic_spark.functions.multimodal import (
+        decode_video,
+        ffmpeg_available,
+    )
+
+    if ffmpeg_available():
+        pytest.skip("ffmpeg present: covered by test_ffmpeg_decodes_h264")
+    with pytest.raises(ValueError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42 not an avi")
+
+
+def test_ffmpeg_decodes_h264(tmp_path):
+    """When ffmpeg IS available, decode_video transparently handles
+    compressed containers: synthesize an H.264 clip with ffmpeg itself,
+    then decode it through the seam and check the (frames, fps) contract
+    (VERDICT r3 next-round #6)."""
+    import subprocess
+
+    from excelastic_spark.functions.multimodal import (
+        decode_video,
+        ffmpeg_available,
+        video_features,
+    )
+
+    if not ffmpeg_available():
+        pytest.skip("no ffmpeg binary in this environment")
+    clip = tmp_path / "clip.avi"  # AVI container pipes cleanly (no moov)
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=duration=1:size=64x48:rate=8",
+            "-c:v", "libx264", "-pix_fmt", "yuv420p", str(clip),
+        ],
+        check=True, capture_output=True, timeout=120,
+    )
+    payload = clip.read_bytes()
+    frames, fps = decode_video(payload)
+    assert frames.shape[0] == 8 and frames.shape[1:] == (48, 64, 3)
+    assert abs(fps - 8.0) < 1e-6
+    feats = video_features(payload, dim=8)
+    assert abs(feats[0] - 1.0) < 0.2 and feats[1] == 8.0
+
+
 def test_extract_features_video_real_and_fake(spark):
     media = synthesize_media(spark, n=3, real=True).filter("kind = 'video'")
     from excelastic_spark.functions.multimodal import video_features

@@ -227,6 +227,116 @@ def test_index_lock_pins_default_index(spark, tmp_path):
         srv.shutdown()
 
 
+def test_upload_size_cap(server):
+    """Oversized Content-Length is rejected BEFORE the body is read into
+    memory, with the reference's 200 + error-view semantics and a terminal
+    'error' event for progress subscribers."""
+    old = server.max_upload_bytes
+    server.max_upload_bytes = 1024
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        body = b"x" * 4096
+        conn.request(
+            "POST", "/api/upload?uploadId=ucap", body,
+            {"Content-Type": "multipart/form-data; boundary=b1"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        assert "maximum upload size" in out["error"]
+        conn.close()  # server closed too (undrained body desyncs keep-alive)
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("GET", "/api/progress?uploadId=ucap")
+        evs = json.loads(conn.getresponse().read())["events"]
+        conn.close()
+        assert any(e["action"] == "error" for e in evs)
+    finally:
+        server.max_upload_bytes = old
+
+
+def test_html_done_and_error_views(server):
+    """Browser form posts (Accept: text/html) get the done.jade/error.jade
+    analog views rendered from the same template context, not raw JSON."""
+    boundary = "bhtml"
+    parts = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="index"'
+        f"\r\n\r\nhtmlidx\r\n"
+        f'--{boundary}\r\nContent-Disposition: form-data; name="uploadId"'
+        f"\r\n\r\nuh1\r\n"
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="h.csv"\r\n\r\n{CSV}\r\n--{boundary}--\r\n'
+    ).encode()
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+    hdrs = {
+        "Content-Type": f"multipart/form-data; boundary={boundary}",
+        "Accept": "text/html,application/xhtml+xml",
+    }
+    conn.request("POST", "/api/upload", parts, hdrs)
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "text/html" in resp.getheader("Content-Type", "")
+    html = resp.read().decode()
+    # done.jade: "Success!" + "Imported N rows from 'file' into 'index'"
+    assert "Success!" in html
+    assert "Imported 3 rows from 'h.csv' into 'htmlidx'" in html
+
+    bad = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="bad.csv"\r\n\r\na,b\n1,2,3\n\r\n--{boundary}--\r\n'
+    ).encode()
+    conn.request("POST", "/api/upload", bad, hdrs)
+    resp = conn.getresponse()
+    assert resp.status == 200
+    html = resp.read().decode()
+    conn.close()
+    # error.jade: heading + <pre> message
+    assert "There was an error uploading the file" in html
+    assert "<pre>" in html
+
+
+def test_unexpected_exception_routes_to_error_view(server):
+    """Any failure during indexing — not just ParserException — must
+    produce the 200 + error view AND a terminal 'error' event, never a
+    dropped connection with subscribers waiting forever."""
+    orig = server.service.import_file
+
+    def boom(payload, filename, event):
+        raise RuntimeError("executor lost: simulated mid-build failure")
+
+    server.service.import_file = boom
+    try:
+        out = _post_upload(
+            server.port, "ok.csv", CSV.encode(),
+            {"index": "boomidx", "uploadId": "uboom"},
+        )
+        assert "RuntimeError" in out["error"]
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("GET", "/api/progress?uploadId=uboom")
+        evs = json.loads(conn.getresponse().read())["events"]
+        conn.close()
+        assert evs[-1]["action"] == "error"
+    finally:
+        server.service.import_file = orig
+
+
+def test_progress_bus_eviction():
+    """A long-running server must not retain per-upload history forever:
+    the bus LRU-evicts subscriber-less uploads past the cap, keeps live
+    subscriptions, and stays bounded."""
+    from excelastic_spark.web import ProgressBus
+
+    bus = ProgressBus(max_uploads=4)
+    live_q = bus.subscribe("keepme")
+    bus.publish("keepme", "verify", 0.0)
+    for i in range(20):
+        bus.publish(f"u{i}", "done", 100.0)
+    assert len(bus._events) <= 5  # cap + the subscribed survivor
+    assert "keepme" in bus._events  # live subscription never evicted
+    assert bus.since("u0", 0) == []  # oldest history gone
+    assert not live_q.empty()
+    bus.unsubscribe("keepme", live_q)
+
+
 # ---------------------------------------------------------------- websocket
 
 
