@@ -64,6 +64,32 @@ def test_rank_identical(built, q):
     assert np.array_equal(got["score"].to_numpy(), exp["score"].to_numpy())
 
 
+def test_query_executor_concurrent_identical(built):
+    """The bounded head-node executor (admission control against the
+    measured GIL convoy) must return results bit-identical to direct
+    QueryEngine.search, under many concurrent caller threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from excelastic_spark.query import QueryExecutor
+
+    _, _, qe, _, _ = built
+    expected = {
+        q["qid"]: qe.search(q["terms"], mode=q["mode"], k=q["k"]).to_pandas()
+        for q in QUERY_SET
+    }
+    with QueryExecutor(qe, workers=2) as qx:
+        def one(q):
+            return q["qid"], qx.search(q["terms"], mode=q["mode"], k=q["k"])
+
+        with ThreadPoolExecutor(max_workers=16) as clients:
+            results = list(clients.map(one, QUERY_SET * 8))
+    for qid, res in results:
+        got = res.to_pandas()
+        exp = expected[qid]
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert np.array_equal(got["score"].to_numpy(), exp["score"].to_numpy())
+
+
 def test_salting_active(built, spark):
     """tiny() salt threshold=8 must split hot terms into multiple salted
     rows, and queries over them still match (covered above); verify the

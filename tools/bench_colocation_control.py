@@ -28,9 +28,23 @@ import subprocess
 import sys
 import time
 
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-MB = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-PASSES = int(os.environ.get("COLO_PASSES", "20"))
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+
+# Bracketing workloads, all pinned 1-vs-4 processes:
+#   membw   — out-of-cache streaming triad (512 MB buffers): pure DRAM
+#             bandwidth, no reuse (measures the memory-channel ceiling).
+#   llc     — LLC-sized working set WITH reuse (2x24 MB buffers): fits
+#             the shared last-level cache solo, thrashes it 4-way — the
+#             contention mode that actually hits cache-friendly engines.
+#   compute — in-L2 numpy kernel (1 MB buffer, many passes): best case
+#             (~1.0x expected); validates the pinning itself.
+# The engine's measured 1.22x is read against these brackets.
+_WORKLOADS = {
+    "membw": {"mb": 512, "passes": 20},
+    # host L3 = 260 MiB shared: 2x64 MB buffers fit solo, thrash 4-way
+    "llc": {"mb": 64, "passes": 120},
+    "compute": {"mb": 1, "passes": 6000},
+}
 
 _WORKER = r"""
 import sys, time
@@ -39,23 +53,24 @@ mb = int(sys.argv[1]); passes = int(sys.argv[2])
 n = mb * 1024 * 1024 // 8
 a = np.arange(n, dtype=np.float64)
 b = np.empty_like(a)
+np.multiply(a, 1.0000001, out=b)  # untimed warm pass: fault every page in
 t0 = time.perf_counter()
 acc = 0.0
 for _ in range(passes):
     np.multiply(a, 1.0000001, out=b)   # stream read a, write b
-    acc += float(b[:: n // 64].sum())  # touch without a full reduce pass
+    acc += float(b[:: max(1, n // 64)].sum())
 print(time.perf_counter() - t0)
 """
 
 
-def run_pinned(cores: list[int]) -> list[float]:
+def run_pinned(cores: list[int], mb: int, passes: int) -> list[float]:
     """One worker per core, started together; returns per-process seconds."""
     procs = []
     for c in cores:
         procs.append(
             subprocess.Popen(
                 ["taskset", "-c", str(c), sys.executable, "-c", _WORKER,
-                 str(MB), str(PASSES)],
+                 str(mb), str(passes)],
                 stdout=subprocess.PIPE, text=True,
             )
         )
@@ -66,27 +81,37 @@ def run_pinned(cores: list[int]) -> list[float]:
     return out
 
 
-def main() -> None:
+def measure(mb: int, passes: int) -> dict:
     solo_times: list[float] = []
     colo_times: list[list[float]] = []
     for _ in range(REPS):  # interleaved pairs
-        solo_times.append(run_pinned([0])[0])
-        colo_times.append(run_pinned([0, 1, 2, 3]))
+        solo_times.append(run_pinned([0], mb, passes)[0])
+        colo_times.append(run_pinned([0, 1, 2, 3], mb, passes))
         time.sleep(1)
     solo = min(solo_times)
     colo_mean = [statistics.mean(ts) for ts in colo_times]
     colo = min(colo_mean)
-    out = {
-        "metric": "colocation_inflation_x",
-        "value": round(colo / solo, 3),
-        "unit": "x",
-        "mb_per_buffer": MB,
-        "passes": PASSES,
-        "reps": REPS,
+    return {
+        "inflation_x": round(colo / solo, 3),
+        "mb_per_buffer": mb,
+        "passes": passes,
         "solo_sec": round(solo, 3),
         "colocated_mean_sec": round(colo, 3),
         "solo_all": [round(t, 3) for t in solo_times],
         "colocated_means": [round(t, 3) for t in colo_mean],
+    }
+
+
+def main() -> None:
+    results = {
+        name: measure(w["mb"], w["passes"]) for name, w in _WORKLOADS.items()
+    }
+    out = {
+        "metric": "colocation_inflation_x",
+        "value": results["membw"]["inflation_x"],
+        "unit": "x",
+        "reps": REPS,
+        "workloads": results,
     }
     print(json.dumps(out))
 

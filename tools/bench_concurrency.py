@@ -43,7 +43,11 @@ QUERY_SET = [
 ]
 
 
-def run_level(qe, n_threads: int, total: int) -> dict:
+def run_level(searcher, n_threads: int, total: int) -> dict:
+    """``searcher``: anything with .search(terms, mode=..., k=...) —
+    the raw QueryEngine (unbounded: every client thread runs its own
+    query) or a QueryExecutor (bounded pool + queue)."""
+    qe = searcher
     work = [QUERY_SET[i % len(QUERY_SET)] for i in range(total)]
     lat: list[float] = []
     lock = threading.Lock()
@@ -111,18 +115,26 @@ def main() -> None:
         qe.search(terms, mode=mode, k=k)
         qe.search(terms, mode=mode, k=k)
 
-    levels = [run_level(qe, n, QUERIES_PER_LEVEL) for n in LEVELS]
-    base = next(lv for lv in levels if lv["threads"] == min(LEVELS))
+    from excelastic_spark.query import QueryExecutor
+
+    # interleaved: (direct, bounded) at each client level so both paths
+    # sample the same host-noise windows (BENCH/NOISE_r03.md)
+    direct, bounded = [], []
+    with QueryExecutor(qe, workers=2) as qx:
+        for n in LEVELS:
+            direct.append(run_level(qe, n, QUERIES_PER_LEVEL))
+            bounded.append(run_level(qx, n, QUERIES_PER_LEVEL))
+    base = next(lv for lv in bounded if lv["threads"] == min(LEVELS))
     out = {
         "metric": "concurrent_query_p50_ms",
-        "value": levels[-1]["p50_ms"],
+        "value": bounded[-1]["p50_ms"],
         "unit": "ms",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "queries_per_level": QUERIES_PER_LEVEL,
-        "levels": levels,
-        "qps_speedup_max_vs_1": round(
-            levels[-1]["qps"] / base["qps"], 2
-        ),
+        "direct_levels": direct,
+        "bounded_levels": bounded,
+        "bounded_workers": 2,
+        "bounded_qps_max_vs_1": round(bounded[-1]["qps"] / base["qps"], 2),
     }
     spark.stop()
     shutil.rmtree(wh, ignore_errors=True)
