@@ -195,14 +195,28 @@ class QueryEngine:
             by_term.setdefault(r["term"], []).append(r)
         out: dict[str, TermPostings] = {}
         for term, parts in by_term.items():
-            ids_parts, tf_parts, dl_parts = [], [], []
-            for r in sorted(parts, key=lambda r: r["salt"]):
-                ids_parts.append(codec.decode_delta_varint(bytes(r["doc_ids"])))
-                tf_parts.append(codec.decode_varint(bytes(r["tfs"])))
-                dl_parts.append(codec.decode_varint(bytes(r["doclens"])))
-            ids = np.concatenate(ids_parts)
-            tfs = np.concatenate(tf_parts)
-            dls = np.concatenate(dl_parts)
+            # FUSED decode across salted sub-lists: a hot term at scale has
+            # thousands of salted rows of ~salt_target docs each, and
+            # per-row numpy decode calls (3 per row) dominate lookup time
+            # (profiled: 600 rows/1.2M postings -> 0.29s decode vs 0.06s
+            # fetch). Varint streams concatenate losslessly, so all rows
+            # decode in THREE vectorized passes; the delta stream needs a
+            # per-row cumsum reset = subtract each segment's starting
+            # offset (one np.repeat), since row lengths are stored in "n".
+            parts = sorted(parts, key=lambda r: r["salt"])
+            ns = np.array([int(r["n"]) for r in parts], dtype=np.int64)
+            deltas = codec.decode_varint(
+                b"".join(bytes(r["doc_ids"]) for r in parts)
+            )
+            csum = np.cumsum(deltas, dtype=np.uint64)
+            starts = np.cumsum(ns)[:-1]  # first value index of rows 1..
+            offsets = np.zeros(len(parts), dtype=np.uint64)
+            offsets[1:] = csum[starts - 1]
+            ids = csum - np.repeat(offsets, ns)
+            tfs = codec.decode_varint(b"".join(bytes(r["tfs"]) for r in parts))
+            dls = codec.decode_varint(
+                b"".join(bytes(r["doclens"]) for r in parts)
+            )
             if len(parts) > 1:
                 order = np.argsort(ids, kind="stable")
                 ids, tfs, dls = ids[order], tfs[order], dls[order]

@@ -657,8 +657,9 @@ class UploadServer(ThreadingHTTPServer):
         return t
 
 
-def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 8080):
+def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 8080,
+          max_upload_bytes: int = 256 << 20):
     """Blocking entry: `python index.py serve` uses this."""
-    srv = UploadServer(spark, cfg, host, port)
+    srv = UploadServer(spark, cfg, host, port, max_upload_bytes)
     print(f"excelastic-spark web on http://{host}:{srv.port}")
     srv.serve_forever()

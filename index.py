@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     w.add_argument("--host", default="127.0.0.1")
     w.add_argument("--port", type=int, default=8080)
+    w.add_argument(
+        "--max-upload-mb", type=int, default=256,
+        help="reject uploads whose Content-Length exceeds this many MiB "
+        "(memory-safety bound for non-loopback binds)",
+    )
 
     args = p.parse_args(argv)
 
@@ -197,7 +202,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from excelastic_spark.web import serve
 
-        serve(spark, cfg, host=args.host, port=args.port)
+        serve(
+            spark, cfg, host=args.host, port=args.port,
+            max_upload_bytes=args.max_upload_mb << 20,
+        )
     spark.stop()
     return 0
 

@@ -97,13 +97,25 @@ def main() -> None:
     for terms, mode, k in QUERIES:  # warm
         qe.search(terms, mode=mode, k=k)
     lat = []
+    lookup_sec, score_sec = [], []
     for terms, mode, k in QUERIES:
         times = []
         for _ in range(5):
             t0 = time.time()
-            qe.search(terms, mode=mode, k=k)
+            res = qe.search(terms, mode=mode, k=k)
             times.append(time.time() - t0)
         lat.append(statistics.median(times))
+        lookup_sec.append(res.lookup_sec)
+        score_sec.append(res.score_sec)
+    # distributed path on the hottest query: the cluster alternative for
+    # monster-df queries where even a fused driver decode is O(df)
+    terms, mode, k = QUERIES[0]
+    qe.search_distributed(terms, mode, k).collect()  # warm
+    dist_times = []
+    for _ in range(3):
+        t0 = time.time()
+        qe.search_distributed(terms, mode, k).collect()
+        dist_times.append(time.time() - t0)
 
     idx_bytes = sum(
         os.path.getsize(os.path.join(dp, fn))
@@ -119,6 +131,11 @@ def main() -> None:
         "build_sec": round(build_sec, 1),
         "stage_sec": stage_sec,
         "query_p50_ms": [round(1e3 * t, 2) for t in lat],
+        "query_lookup_sec": [round(t, 3) for t in lookup_sec],
+        "query_score_sec": [round(t, 3) for t in score_sec],
+        "distributed_hot_query_p50_ms": round(
+            1e3 * statistics.median(dist_times), 1
+        ),
         "index_bytes": idx_bytes,
         "peak_rss_driver_mb": round(_peak_rss_mb(os.getpid()), 1),
         "peak_rss_jvm_mb": round(
