@@ -63,16 +63,28 @@ from excelastic_spark.wand import TermPostings, WandStats, exhaustive_or, wand_t
 WAND_MIN_POSTINGS = 2_000_000
 WAND_DOMINANT_FRACTION = 0.05
 
+# Dense-scatter scorer eligibility (the monster-df path; see lookup()):
+# scoring via a doc_id-indexed accumulator costs O(span) zero-fill plus one
+# random scatter per posting and NO sorts, vs the sorted path's O(n log n)
+# salt-merge argsort + O(union log union) np.unique. Worth it when the
+# postings actually fill the id space (stopword-grade terms) and the
+# accumulator fits head-node memory.
+DENSE_MAX_SPAN = 64_000_000  # 512 MB float64 accumulator ceiling
+DENSE_MIN_FILL = 8  # use dense when total postings >= span/8
 
-def _wand_promising(present: list[TermPostings], k: int, total: int) -> bool:
-    if total < WAND_MIN_POSTINGS or len(present) < 2:
+
+def _wand_promising(
+    ns: list[int], ubs: list[float], k: int, total: int
+) -> bool:
+    if total < WAND_MIN_POSTINGS or len(ns) < 2:
         return False
-    by_ub = sorted(present, key=lambda p: -p.max_ub)
-    rest_ub = sum(p.max_ub for p in by_ub[1:])
+    order = sorted(range(len(ns)), key=lambda i: -ubs[i])
+    top = order[0]
+    rest_ub = sum(ubs[i] for i in order[1:])
     return (
-        by_ub[0].max_ub > rest_ub
-        and by_ub[0].n <= WAND_DOMINANT_FRACTION * total
-        and k <= by_ub[0].n
+        ubs[top] > rest_ub
+        and ns[top] <= WAND_DOMINANT_FRACTION * total
+        and k <= ns[top]
     )
 
 RESULT_SCHEMA = StructType(
@@ -81,6 +93,26 @@ RESULT_SCHEMA = StructType(
         StructField("score", DoubleType(), False),
     ]
 )
+
+
+@dataclass
+class RawPostings:
+    """Fetched + decoded postings for one term BEFORE any sorting: the
+    salt-concatenated doc_ids (each salted sub-run internally ascending,
+    runs interleaved), aligned doc-level impacts, and the term's idf.
+    The dense scorer consumes this directly (scatter-add is order-
+    independent because salted sub-lists cover disjoint docs); the sorted
+    paths (WAND / galloping AND) build a TermPostings from it on demand."""
+
+    term: str
+    doc_ids: np.ndarray  # uint64
+    impacts: np.ndarray  # float64, aligned with doc_ids
+    idf: float
+    presorted: bool  # True when a single salted row (already ascending)
+
+    @property
+    def n(self) -> int:
+        return int(self.doc_ids.size)
 
 
 @dataclass
@@ -185,24 +217,24 @@ class QueryEngine:
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
-    def lookup(self, terms: list[str]) -> dict[str, TermPostings]:
-        """Fetch + decode + salt-merge postings for the query terms.
-        Salted sub-lists cover disjoint docs; merge = concat + stable sort."""
-        uniq = sorted(set(terms))
+    def _lookup_raw(self, uniq: list[str]) -> dict[str, RawPostings]:
+        """Fetch + decode postings for the (deduped, sorted) query terms —
+        NO sorting pass: the dense scorer never needs the salt-merge.
+
+        FUSED decode across salted sub-lists: a hot term at scale has
+        thousands of salted rows of ~salt_target docs each, and per-row
+        numpy decode calls (3 per row) dominate lookup time (profiled:
+        600 rows/1.2M postings -> 0.29s decode vs 0.06s fetch). Varint
+        streams concatenate losslessly, so all rows decode in THREE
+        vectorized passes; the delta stream needs a per-row cumsum reset
+        = subtract each segment's starting offset (one np.repeat), since
+        row lengths are stored in "n"."""
         rows = self._fetch_posting_rows(uniq)
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
-        out: dict[str, TermPostings] = {}
+        out: dict[str, RawPostings] = {}
         for term, parts in by_term.items():
-            # FUSED decode across salted sub-lists: a hot term at scale has
-            # thousands of salted rows of ~salt_target docs each, and
-            # per-row numpy decode calls (3 per row) dominate lookup time
-            # (profiled: 600 rows/1.2M postings -> 0.29s decode vs 0.06s
-            # fetch). Varint streams concatenate losslessly, so all rows
-            # decode in THREE vectorized passes; the delta stream needs a
-            # per-row cumsum reset = subtract each segment's starting
-            # offset (one np.repeat), since row lengths are stored in "n".
             parts = sorted(parts, key=lambda r: r["salt"])
             ns = np.array([int(r["n"]) for r in parts], dtype=np.int64)
             deltas = codec.decode_varint(
@@ -217,75 +249,113 @@ class QueryEngine:
             dls = codec.decode_varint(
                 b"".join(bytes(r["doclens"]) for r in parts)
             )
-            if len(parts) > 1:
-                order = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
-            df = int(ids.size)
-            idf = float(codec.bm25_idf(self.n_docs, df))
+            idf = float(codec.bm25_idf(self.n_docs, int(ids.size)))
             impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
-            weights = idf * impacts
-            # Block bounds are recomputed from the decoded impacts (one
-            # reduceat — negligible next to the decode) rather than read
-            # from storage: stored bounds were computed with BUILD-time
-            # stats, and after segment appends shift avgdl they could
-            # UNDER-estimate, making WAND pruning unsafe. The stored
-            # block_max remains for segment-level pre-decode pruning.
-            blk_last, blk_imp = codec.block_metadata(
-                ids, impacts, self.cfg.block_size
-            )
-            blk_max = blk_imp * idf
-            out[term] = TermPostings(
+            out[term] = RawPostings(
                 term=term,
                 doc_ids=ids,
-                weights=weights,
-                block_last=blk_last,
-                block_ub=blk_max,
+                impacts=impacts,
+                idf=idf,
+                presorted=len(parts) == 1,
             )
         return out
+
+    def _sorted_postings(self, raw: RawPostings) -> TermPostings:
+        """Salt-merge (concat + stable sort) + block metadata: the
+        TermPostings shape the sorted scorers (WAND, galloping AND,
+        exhaustive union) consume."""
+        ids, impacts = raw.doc_ids, raw.impacts
+        if not raw.presorted:
+            order = np.argsort(ids, kind="stable")
+            ids, impacts = ids[order], impacts[order]
+        weights = raw.idf * impacts
+        # Block bounds are recomputed from the decoded impacts (one
+        # reduceat — negligible next to the decode) rather than read
+        # from storage: stored bounds were computed with BUILD-time
+        # stats, and after segment appends shift avgdl they could
+        # UNDER-estimate, making WAND pruning unsafe. The stored
+        # block_max remains for segment-level pre-decode pruning.
+        blk_last, blk_imp = codec.block_metadata(
+            ids, impacts, self.cfg.block_size
+        )
+        return TermPostings(
+            term=raw.term,
+            doc_ids=ids,
+            weights=weights,
+            block_last=blk_last,
+            block_ub=blk_imp * raw.idf,
+        )
+
+    def lookup(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Fetch + decode + salt-merge postings for the query terms.
+        Salted sub-lists cover disjoint docs; merge = concat + stable sort."""
+        raws = self._lookup_raw(sorted(set(terms)))
+        return {t: self._sorted_postings(r) for t, r in raws.items()}
 
     # ---------------------------------------------------------- search ----
 
     def search(
         self, terms: list[str], mode: str = "or", k: int = 10, algo: str = "auto"
     ) -> QueryResult:
-        """``algo``: 'auto' picks WAND vs vectorized exhaustive scoring by
-        the cost model above; 'wand'/'exhaustive' force a path. All paths
-        produce bit-identical results (test_wand_equals_exhaustive)."""
+        """``algo``: 'auto' picks the scorer by the cost models above —
+        WAND for big heterogeneous disjunctions, the dense scatter for
+        stopword-grade terms that fill the doc-id space, the sorted
+        vectorized path otherwise; 'wand'/'exhaustive'/'dense' force a
+        path. All paths produce bit-identical results
+        (test_wand_equals_exhaustive, test_dense_equals_sorted)."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         t0 = time.time()
-        postings = self.lookup(terms)
-        t1 = time.time()
         uniq = sorted(set(terms))
+        raws = self._lookup_raw(uniq)
+        t1 = time.time()
+        present = [raws[t] for t in uniq if t in raws]
+        if not present or (mode == "and" and len(present) < len(uniq)):
+            return QueryResult(
+                np.empty(0, np.uint64),
+                np.empty(0, np.float64),
+                lookup_sec=t1 - t0,
+            )
+        total = sum(r.n for r in present)
+        span = int(max(int(r.doc_ids.max()) for r in present)) + 1
+        dense_ok = (
+            span <= DENSE_MAX_SPAN
+            and total >= span // DENSE_MIN_FILL
+            and len(present) <= 255  # uint8 match counter
+        )
         if mode == "and":
-            present = [postings[t] for t in uniq if t in postings]
-            if len(present) < len(uniq) or not present:
-                return QueryResult(
-                    np.empty(0, np.uint64),
-                    np.empty(0, np.float64),
-                    lookup_sec=t1 - t0,
+            if algo == "dense" or (algo != "exhaustive" and dense_ok):
+                ids, scores = _dense_topk(present, k, conjunctive=True)
+            else:
+                ids, scores = _and_score(
+                    [self._sorted_postings(r) for r in present], k
                 )
-            ids, scores = _and_score(present, k)
             return QueryResult(
                 ids, scores, lookup_sec=t1 - t0, score_sec=time.time() - t1
             )
-        if mode == "or":
-            present = [postings[t] for t in uniq if t in postings]
-            total = sum(p.n for p in present)
-            use_wand = algo == "wand" or (
-                algo == "auto" and _wand_promising(present, k, total)
+        ubs = [r.idf * float(r.impacts.max()) for r in present]
+        use_wand = algo == "wand" or (
+            algo == "auto"
+            and _wand_promising([r.n for r in present], ubs, k, total)
+        )
+        wstats = None
+        if use_wand:
+            ids, scores, wstats = wand_topk(
+                [self._sorted_postings(r) for r in present], k
             )
-            if use_wand:
-                ids, scores, wstats = wand_topk(present, k)
-            else:
-                ids, scores = exhaustive_or(present, k)
-                wstats = None
-            return QueryResult(
-                ids,
-                scores,
-                wand=wstats,
-                lookup_sec=t1 - t0,
-                score_sec=time.time() - t1,
+        elif algo == "dense" or (algo == "auto" and dense_ok):
+            ids, scores = _dense_topk(present, k, conjunctive=False)
+        else:
+            ids, scores = exhaustive_or(
+                [self._sorted_postings(r) for r in present], k
             )
-        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        return QueryResult(
+            ids,
+            scores,
+            wand=wstats,
+            lookup_sec=t1 - t0,
+            score_sec=time.time() - t1,
+        )
 
     def search_df(
         self, terms: list[str], mode: str = "or", k: int = 10
@@ -423,6 +493,50 @@ class QueryExecutor:
 
     def __exit__(self, *exc) -> None:
         self.shutdown()
+
+
+def _dense_topk(
+    raws: list[RawPostings], k: int, conjunctive: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k over a doc_id-indexed dense accumulator — the
+    monster-df scorer. scores[doc] accumulates idf*impact per term in
+    ascending lexicographic term order (scatter order within a term is
+    irrelevant: salted sub-lists cover disjoint docs), so per-doc float64
+    fold order — and therefore every score bit — is identical to the
+    sorted paths and the pandas oracle. No sort touches the postings: the
+    only ordered work is the O(matches) top-k selection. Profiling
+    rationale: for stopword-grade terms (df ~= N) the sorted path's
+    salt-merge argsort + np.unique union re-sort own ~60% of query time
+    while block-max pruning cannot help (every block competes); a scatter
+    replaces them with one O(1)-per-posting pass."""
+    if k <= 0 or not raws:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    span = int(max(int(r.doc_ids.max()) for r in raws)) + 1
+    acc = np.zeros(span, dtype=np.float64)
+    cnt = np.zeros(span, dtype=np.uint8) if conjunctive else None
+    for r in sorted(raws, key=lambda r: r.term):  # lex fold order
+        acc[r.doc_ids] += r.idf * r.impacts
+        if cnt is not None:
+            cnt[r.doc_ids] += 1
+    if conjunctive:
+        matched = np.flatnonzero(cnt == len(raws))
+    else:
+        # weights are strictly positive (idf > 0, impact > 0), so
+        # matched == touched
+        matched = np.flatnonzero(acc > 0.0)
+    if matched.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    scores = acc[matched]
+    if matched.size > k:
+        # keep every score tied with the k-th (descending), then let the
+        # (score DESC, doc_id ASC) lexsort settle the boundary — identical
+        # tie semantics to exhaustive_or/_and_score
+        neg = -scores
+        kth = np.partition(neg, k - 1)[k - 1]
+        sel = neg <= kth
+        matched, scores = matched[sel], scores[sel]
+    order = np.lexsort((matched, -scores))[:k]
+    return matched[order].astype(np.uint64), scores[order]
 
 
 def _and_score(

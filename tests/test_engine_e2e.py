@@ -198,6 +198,18 @@ def test_wand_prunes_on_real_corpus(built):
     assert res.wand.docs_skipped + res.wand.blocks_skipped > 0
 
 
+def test_dense_equals_sorted_on_real_corpus(built):
+    """Force the dense-scatter and sorted-exhaustive scorers on every
+    reference query: byte-identical frames (ids AND score bits)."""
+    _, _, qe, _, _ = built
+    for q in QUERY_SET:
+        d = qe.search(q["terms"], q["mode"], q["k"], algo="dense").to_pandas()
+        e = qe.search(
+            q["terms"], q["mode"], q["k"], algo="exhaustive"
+        ).to_pandas()
+        assert d.equals(e), q
+
+
 def test_metrics_logged(built):
     _, _, _, _, metrics = built
     assert metrics["postings"]["postings_per_sec"] > 0
