@@ -106,6 +106,24 @@ def main() -> None:
         queries[name] = round(p50, 4)
         lat_all.append(p50)
 
+    # ---- head tier (bounded-latency approximate path) on the synth index;
+    # recorded as extra keys, NOT in the headline total, so round-over-round
+    # suite totals stay comparable ----
+    from excelastic_spark.heads import build_heads
+
+    t0 = time.time()
+    build_heads(spark, store2, synth_cfg, head_size=4096)
+    heads_build_sec = time.time() - t0
+    qe2h = QueryEngine(spark, store2, synth_cfg)
+    qe2h.search_head(["import", "return"], k=10)  # warm
+    times = []
+    for _ in range(QUERY_REPS):
+        t0 = time.time()
+        res = qe2h.search_head(["import", "return"], k=10)
+        times.append(time.time() - t0)
+    exact_ids = set(int(d) for d in qe2.search(["import", "return"], mode="or", k=10).doc_ids)
+    head_recall = len(set(int(d) for d in res.doc_ids) & exact_ids) / max(len(exact_ids), 1)
+
     total = queries["build_docs_table"] + queries["build_synth"] + sum(lat_all)
     out = {
         "metric": "index_build_plus_query_suite_sec",
@@ -116,6 +134,9 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "synth_build_docs_per_sec": round(SYNTH_DOCS / synth_sec, 1),
         "query_p50_sec": round(statistics.median(lat_all), 4),
+        "heads_build_sec": round(heads_build_sec, 3),
+        "head_q_p50_sec": round(statistics.median(times), 4),
+        "head_recall_at_10": round(head_recall, 3),
         "cpus": int(CPUS),
     }
     spark.stop()

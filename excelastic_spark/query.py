@@ -46,10 +46,10 @@ from pyspark.sql.types import (
 )
 
 from excelastic_spark import codec
-from excelastic_spark.build import bucket_expr
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
 from excelastic_spark.wand import TermPostings, WandStats, exhaustive_or, wand_topk
+from excelastic_spark.xxh import term_bucket
 
 # Cost model for the disjunctive path. Exhaustive scoring is one vectorized
 # numpy pass over all postings (~1e8 postings/sec); WAND's pivot loop is
@@ -87,6 +87,31 @@ def _wand_promising(
         and k <= ns[top]
     )
 
+def _group_by_term(rows: list[dict]) -> dict[str, list]:
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    return by_term
+
+
+def _fused_decode(
+    parts: list[dict],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Decode one term's salted rows into (doc_ids, tfs, doclens,
+    presorted) in THREE vectorized varint passes (see _lookup_raw)."""
+    parts = sorted(parts, key=lambda r: r["salt"])
+    ns = np.array([int(r["n"]) for r in parts], dtype=np.int64)
+    deltas = codec.decode_varint(b"".join(bytes(r["doc_ids"]) for r in parts))
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.cumsum(ns)[:-1]  # first value index of rows 1..
+    offsets = np.zeros(len(parts), dtype=np.uint64)
+    offsets[1:] = csum[starts - 1]
+    ids = csum - np.repeat(offsets, ns)
+    tfs = codec.decode_varint(b"".join(bytes(r["tfs"]) for r in parts))
+    dls = codec.decode_varint(b"".join(bytes(r["doclens"]) for r in parts))
+    return ids, tfs, dls, len(parts) == 1
+
+
 RESULT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -122,6 +147,11 @@ class QueryResult:
     wand: WandStats | None = None
     lookup_sec: float = 0.0
     score_sec: float = 0.0
+    # --- head-tier (search_head) extras ---
+    approximate: bool = False  # True when served from the head tier
+    caps: dict[str, float] | None = None  # per-term excluded-weight bound
+    set_exact: bool | None = None  # certificate: returned SET provably exact
+    score_gap: np.ndarray | None = None  # per-result score upper-bound gap
 
     def to_pandas(self) -> pd.DataFrame:
         return pd.DataFrame(
@@ -151,45 +181,45 @@ class QueryEngine:
     # ---------------------------------------------------------- lookup ----
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
-        missing = [t for t in terms if t not in self._bucket_cache]
-        if missing:
-            rows = (
-                self.spark.createDataFrame([(t,) for t in missing], ["term"])
-                .select(
-                    "term",
-                    bucket_expr(F.col("term"), self.cfg.n_buckets).alias("bucket"),
-                )
-                .collect()
-            )
-            for r in rows:
-                self._bucket_cache[r["term"]] = r["bucket"]
+        # driver-side XXH64 twin of build.bucket_expr (tests/test_xxh.py
+        # proves bit-equality with the Spark expression) — no JVM
+        # round-trip on the cold-query path
+        for t in terms:
+            if t not in self._bucket_cache:
+                self._bucket_cache[t] = term_bucket(t, self.cfg.n_buckets)
         return sorted({self._bucket_cache[t] for t in terms})
 
-    def _arrow_dataset(self):
-        """pyarrow dataset over the postings snapshots (hive bucket dirs) —
+    def _dataset(self, table: str):
+        """pyarrow dataset over a table's snapshots (hive bucket dirs) —
         the low-latency search-head path: term lookups become local parquet
         reads with dictionary/bucket filters, no Spark job on the hot path.
         Returns None for non-local storage (falls back to the Spark scan)."""
-        if getattr(self, "_ads", "unset") != "unset":
-            return self._ads
+        cache = getattr(self, "_ads_cache", None)
+        if cache is None:
+            cache = self._ads_cache = {}
+        if table in cache:
+            return cache[table]
         try:
             import pyarrow.dataset as pads
 
-            loc = self.store.table_path("postings")
+            loc = self.store.table_path(table)
             paths = loc if isinstance(loc, list) else [loc]
             parts = [
                 pads.dataset(p, format="parquet", partitioning="hive")
                 for p in paths
             ]
-            self._ads = parts[0] if len(parts) == 1 else pads.dataset(parts)
+            cache[table] = parts[0] if len(parts) == 1 else pads.dataset(parts)
         except Exception:
-            self._ads = None
-        return self._ads
+            cache[table] = None
+        return cache[table]
 
-    def _fetch_posting_rows(self, terms: list[str]) -> list[dict]:
-        """Rows for the query terms via pyarrow (local) or Spark scan."""
+    def _fetch_rows(
+        self, table: str, terms: list[str], columns: list[str] | None = None
+    ) -> list[dict]:
+        """Rows for the query terms via pyarrow (local) or Spark scan, from
+        any bucket-partitioned term-keyed table (postings, heads, terms)."""
         buckets = self._buckets_for(terms)
-        dset = self._arrow_dataset()
+        dset = self._dataset(table)
         if dset is not None:
             import pyarrow.dataset as pads
 
@@ -203,10 +233,19 @@ class QueryEngine:
             # ways (measured: 120 -> 24 QPS collapse at 32 threads with
             # threaded scans; see BENCH concurrency section). Parallelism
             # belongs ACROSS queries, one core per scan.
-            tbl = dset.scanner(filter=flt, use_threads=False).to_table()
+            tbl = dset.scanner(
+                filter=flt, columns=columns, use_threads=False
+            ).to_table()
             return tbl.to_pylist()
-        rows = self._postings_scan(terms).collect()
-        return [r.asDict() for r in rows]
+        df = self.store.read_table(self.spark, table).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        if columns:
+            df = df.select(*columns)
+        return [r.asDict() for r in df.collect()]
+
+    def _fetch_posting_rows(self, terms: list[str]) -> list[dict]:
+        return self._fetch_rows("postings", terms)
 
     def _postings_scan(self, terms: list[str]) -> DataFrame:
         """Pruned scan: partition pruning on bucket + predicate pushdown on
@@ -230,25 +269,9 @@ class QueryEngine:
         = subtract each segment's starting offset (one np.repeat), since
         row lengths are stored in "n"."""
         rows = self._fetch_posting_rows(uniq)
-        by_term: dict[str, list] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r)
         out: dict[str, RawPostings] = {}
-        for term, parts in by_term.items():
-            parts = sorted(parts, key=lambda r: r["salt"])
-            ns = np.array([int(r["n"]) for r in parts], dtype=np.int64)
-            deltas = codec.decode_varint(
-                b"".join(bytes(r["doc_ids"]) for r in parts)
-            )
-            csum = np.cumsum(deltas, dtype=np.uint64)
-            starts = np.cumsum(ns)[:-1]  # first value index of rows 1..
-            offsets = np.zeros(len(parts), dtype=np.uint64)
-            offsets[1:] = csum[starts - 1]
-            ids = csum - np.repeat(offsets, ns)
-            tfs = codec.decode_varint(b"".join(bytes(r["tfs"]) for r in parts))
-            dls = codec.decode_varint(
-                b"".join(bytes(r["doclens"]) for r in parts)
-            )
+        for term, parts in _group_by_term(rows).items():
+            ids, tfs, dls, presorted = _fused_decode(parts)
             idf = float(codec.bm25_idf(self.n_docs, int(ids.size)))
             impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
             out[term] = RawPostings(
@@ -256,7 +279,7 @@ class QueryEngine:
                 doc_ids=ids,
                 impacts=impacts,
                 idf=idf,
-                presorted=len(parts) == 1,
+                presorted=presorted,
             )
         return out
 
@@ -355,6 +378,111 @@ class QueryEngine:
             wand=wstats,
             lookup_sec=t1 - t0,
             score_sec=time.time() - t1,
+        )
+
+    # ----------------------------------------------------- head tier ----
+
+    def _heads_fresh(self) -> bool:
+        """The head tier is bound to the postings snapshots it was derived
+        from; any append/merge changes that list and invalidates it."""
+        meta = self.store.manifest().get("stages", {}).get("heads")
+        if not meta or not self.store.has_table("heads"):
+            return False
+        loc = self.store.table_path("postings")
+        cur = loc if isinstance(loc, list) else [loc]
+        return list(meta.get("postings", [])) == list(cur)
+
+    def search_head(self, terms: list[str], k: int = 10) -> QueryResult:
+        """Bounded-latency approximate disjunctive top-k over the
+        impact-ordered head tier (heads.py): reads <= head_size postings
+        per term regardless of df, so monster-df (stopword-grade) terms
+        serve in milliseconds instead of O(df) seconds.
+
+        Contract (differs from search(), which is exact on every path):
+        * returned scores are LOWER bounds of the true BM25 scores;
+          ``score_gap[i]`` bounds how much result i can be under-scored
+          (sum of caps of the terms whose head doesn't contain it);
+        * ``caps[term]`` = idf * impact(excl_max_tf, excl_min_dl) with
+          QUERY-time stats — a valid bound for any avgdl because impact
+          is monotone in (tf up, dl down), so appends can't break it;
+        * ``set_exact`` is a certificate: True means the returned top-k
+          SET provably equals the exact search() set (conservative — may
+          be False for sets that happen to be exact).
+        * OR-only: a conjunctive head miss can't be bounded (a doc cut
+          from one term's head would vanish from the intersection), so
+          AND stays on the exact tiers.
+
+        Raises if the tier is missing or stale (build_heads after append).
+        """
+        if not self._heads_fresh():
+            raise ValueError(
+                "head tier missing or stale for this index — run "
+                "`index.py heads` (build_heads) after builds/appends"
+            )
+        t0 = time.time()
+        uniq = sorted(set(terms))
+        rows = self._fetch_rows("heads", uniq)
+        # true df per term (the terms table, NOT the truncated head length)
+        # so idf — and therefore every returned score bit — matches search()
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in self._fetch_rows("terms", uniq, columns=["term", "df"])
+        }
+        raws: list[RawPostings] = []
+        caps: dict[str, float] = {}
+        for term, parts in _group_by_term(rows).items():
+            ids, tfs, dls, presorted = _fused_decode(parts)
+            idf = float(codec.bm25_idf(self.n_docs, dfs[term]))
+            impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
+            raws.append(RawPostings(term, ids, impacts, idf, presorted))
+            etf = np.array([int(r["excl_max_tf"]) for r in parts], np.float64)
+            edl = np.array([int(r["excl_min_dl"]) for r in parts], np.float64)
+            bounds = codec.bm25_impact(etf, edl, self.avgdl, self.k1, self.b)
+            bounds[etf == 0] = 0.0
+            caps[term] = idf * float(bounds.max()) if len(parts) else 0.0
+        t1 = time.time()
+        total_cap = float(sum(caps.values()))
+        if not raws:
+            return QueryResult(
+                np.empty(0, np.uint64),
+                np.empty(0, np.float64),
+                lookup_sec=t1 - t0,
+                approximate=True,
+                caps=caps,
+                set_exact=total_cap == 0.0,
+                score_gap=np.empty(0, np.float64),
+            )
+        # head unions are <= n_terms * head_size — the sorted exhaustive
+        # scorer is plenty; fetch k+1 so the certificate can bound the
+        # best non-returned candidate
+        tps = [self._sorted_postings(r) for r in raws]
+        ids, scores = exhaustive_or(tps, k + 1)
+        extra = ids.size > k
+        nxt = float(scores[k]) if extra else 0.0
+        ids, scores = ids[:k], scores[:k]
+        if total_cap == 0.0:
+            # nothing anywhere was excluded: the head IS the full index
+            set_exact = True
+        elif ids.size == k:
+            # any non-returned doc's true score <= its computed score
+            # (<= nxt, 0 if unseen) + total_cap; strict > so a tie can't
+            # flip membership on doc_id order
+            set_exact = float(scores[-1]) > nxt + total_cap
+        else:
+            set_exact = False  # unseen docs could fill the empty slots
+        gap = np.zeros(ids.size, dtype=np.float64)
+        for r in raws:
+            if caps[r.term] > 0.0:
+                gap[~np.isin(ids, r.doc_ids)] += caps[r.term]
+        return QueryResult(
+            ids,
+            scores,
+            lookup_sec=t1 - t0,
+            score_sec=time.time() - t1,
+            approximate=True,
+            caps=caps,
+            set_exact=bool(set_exact),
+            score_gap=gap,
         )
 
     def search_df(

@@ -48,6 +48,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--mode", choices=["and", "or"], default="or")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--distributed", action="store_true")
+    q.add_argument(
+        "--tier", choices=["full", "head"], default="full",
+        help="'head' serves OR queries from the impact-ordered head tier "
+        "(bounded latency, approximate — run `heads` first); output adds "
+        "set_exact/score_gap",
+    )
+
+    h = sub.add_parser(
+        "heads",
+        help="build the impact-ordered head tier (champion lists): top-N "
+        "postings per term by BM25 impact + exclusion bounds, for "
+        "bounded-latency approximate top-k on monster-df terms",
+    )
+    h.add_argument("--head-size", type=int, default=None)
 
     a = sub.add_parser("append", help="append an increment to the index")
     a.add_argument("--corpus", required=True)
@@ -152,6 +166,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.distributed:
             rows = qe.search_distributed(terms, args.mode, args.k).collect()
             out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+        elif args.tier == "head":
+            if args.mode != "or":
+                print("--tier head serves OR queries only", file=sys.stderr)
+                spark.stop()
+                return 1
+            res = qe.search_head(terms, args.k)
+            out = {
+                "results": res.to_pandas().to_dict("records"),
+                "approximate": res.approximate,
+                "set_exact": res.set_exact,
+                "score_gap": [
+                    float(g)
+                    for g in (
+                        res.score_gap if res.score_gap is not None else []
+                    )
+                ],
+            }
         else:
             res = qe.search(terms, args.mode, args.k)
             out = res.to_pandas().to_dict("records")
@@ -180,6 +211,13 @@ def main(argv: list[str] | None = None) -> int:
         from excelastic_spark import sharded
 
         print(json.dumps(sharded.finalize(spark, store, cfg), default=str))
+    elif args.cmd == "heads":
+        from excelastic_spark.heads import DEFAULT_HEAD_SIZE, build_heads
+
+        path = build_heads(
+            spark, store, cfg, head_size=args.head_size or DEFAULT_HEAD_SIZE
+        )
+        print(json.dumps({"heads": path}))
     elif args.cmd == "merge":
         from excelastic_spark.streaming.incremental import IncrementalIndexer
 

@@ -18,6 +18,7 @@ HOT_MODULES = [
     "codec.py",
     "corpus.py",
     "query.py",
+    "heads.py",
     "sharded.py",
     "streaming/incremental.py",
     "functions/dedup.py",
@@ -46,7 +47,7 @@ def test_no_per_row_python_iteration_over_documents():
     # decode loops over (term, salt) posting-index ROWS (a handful per
     # query / per merge partition), never over documents/tokens — documented
     # in each module's kernel docstring
-    allowed = {"query.py", "streaming/incremental.py"}
+    allowed = {"query.py", "streaming/incremental.py", "heads.py"}
     for mod in HOT_MODULES:
         src = (ENGINE / mod).read_text()
         if mod in allowed:

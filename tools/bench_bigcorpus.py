@@ -117,6 +117,34 @@ def main() -> None:
         qe.search_distributed(terms, mode, k).collect()
         dist_times.append(time.time() - t0)
 
+    # head tier: bounded-latency approximate path for the same hot queries
+    from excelastic_spark.heads import build_heads
+
+    t0 = time.time()
+    build_heads(spark, store, cfg, head_size=4096)
+    heads_build_sec = time.time() - t0
+    qe2 = QueryEngine(spark, store, cfg)
+    head_lat, head_recall, head_exact, head_gap = [], [], [], []
+    for terms, mode, k in QUERIES:
+        if mode != "or":
+            continue
+        exact_ids = set(int(d) for d in qe.search(terms, mode="or", k=k).doc_ids)
+        qe2.search_head(terms, k=k)  # warm
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            res = qe2.search_head(terms, k=k)
+            times.append(time.time() - t0)
+        head_lat.append(round(1e3 * statistics.median(times), 2))
+        got = set(int(d) for d in res.doc_ids)
+        head_recall.append(
+            round(len(got & exact_ids) / max(len(exact_ids), 1), 3)
+        )
+        head_exact.append(bool(res.set_exact))
+        head_gap.append(
+            float(res.score_gap.max()) if res.score_gap.size else 0.0
+        )
+
     idx_bytes = sum(
         os.path.getsize(os.path.join(dp, fn))
         for dp, _, fns in os.walk(os.path.join(root, "big_idx"))
@@ -136,6 +164,11 @@ def main() -> None:
         "distributed_hot_query_p50_ms": round(
             1e3 * statistics.median(dist_times), 1
         ),
+        "heads_build_sec": round(heads_build_sec, 1),
+        "head_query_p50_ms": head_lat,
+        "head_recall_at_k": head_recall,
+        "head_set_exact": head_exact,
+        "head_max_score_gap": head_gap,
         "index_bytes": idx_bytes,
         "peak_rss_driver_mb": round(_peak_rss_mb(os.getpid()), 1),
         "peak_rss_jvm_mb": round(
