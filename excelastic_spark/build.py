@@ -12,9 +12,10 @@ rule's checkpoint/resume requirement):
             downstream input and a resume checkpoint)
   docs      skinny doc-metadata table (doc_id, key, lang, sha256, doclen)
   terms     df/cf per term + salting plan
-  postings  salt -> ONE shuffle on (term, salt) -> sorted-run VECTORIZED
-            partition encoder (delta+varint + block-max, every numpy call
-            covers the whole partition, no per-group Python) -> one
+  postings  salt -> ONE shuffle on (term, salt) JVM-sorted by
+            (term, salt, doc_id) -> STREAMING vectorized Arrow encoder
+            (delta+varint + block-max in one linear pass; Python memory
+            O(batch + largest group), never O(partition)) -> one
             lightweight exchange to bucket(term) alignment -> postings
             table parquet-partitioned by bucket for lookup pruning
   stats     collection stats assembled from the stages' Observation
@@ -36,11 +37,9 @@ reference's progress events (ElasticWriter.java:147-156).
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
 from typing import Any
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -154,98 +153,190 @@ def corpus_fingerprint(corpus: DataFrame) -> str:
 # sorted-run vectorized posting encoder
 
 
-def _encode_partition(cfg: EngineConfig, avgdl: float):
-    """mapInPandas kernel: one hash(term, salt) shuffle partition ->
-    postings rows. EVERY numpy call below operates on the whole partition
-    at once (sort, delta with group resets, one varint encode per column,
-    reduceat block maxima); the only per-group Python is byte-buffer
-    slicing. This replaces a per-group applyInPandas, whose per-group
-    pandas-DataFrame overhead dominated at ~30k+ distinct terms."""
+_PA_POSTINGS_FIELDS = [
+    ("term", "string"),
+    ("salt", "int32"),
+    ("n", "int64"),
+    ("doc_ids", "binary"),
+    ("tfs", "binary"),
+    ("doclens", "binary"),
+    ("block_last", "binary"),
+    ("block_max", "binary"),
+]
+
+
+def _encode_runs(terms, salts, ids, tfs, dls, gstarts, gends, B, avgdl, k1, b):
+    """Vectorized encode of CONTIGUOUS (term, salt) runs: one varint call
+    per column over the whole span, sliced per group by byte offsets;
+    block-max metadata via reduceat. ``terms`` is a per-group sequence
+    (len == len(gstarts)); the numeric arrays cover exactly the span
+    [gstarts[0], gends[-1]) re-indexed from 0."""
+    n = ids.size
+    ngroups = gstarts.size
+    glens = gends - gstarts
+    gid = np.repeat(np.arange(ngroups), glens)
+
+    # delta encode doc_ids with a reset at each group start
+    deltas = ids.copy()
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[gstarts] = ids[gstarts]
+
+    dbuf, dlen = codec.encode_varint_with_lengths(deltas)
+    tbuf, tlen = codec.encode_varint_with_lengths(tfs)
+    lbuf, llen = codec.encode_varint_with_lengths(dls)
+    doff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dlen, out=doff[1:])
+    toff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tlen, out=toff[1:])
+    loff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(llen, out=loff[1:])
+
+    # block-max metadata: blocks are B-runs within each group (the
+    # within-group index resets at group starts, so blocks never span
+    # groups)
+    within = np.arange(n, dtype=np.int64) - gstarts[gid]
+    bstart_rows = np.flatnonzero(within % B == 0)
+    bend_rows = np.append(bstart_rows[1:], n) - 1
+    impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
+    bmax = np.maximum.reduceat(impacts, bstart_rows)
+    blast = ids[bend_rows]
+    bgid = gid[bstart_rows]
+    bcounts = np.bincount(bgid, minlength=ngroups)
+    bo = np.zeros(ngroups + 1, dtype=np.int64)
+    np.cumsum(bcounts, out=bo[1:])
+    blast_le = np.ascontiguousarray(blast, dtype="<u8")
+    bmax_le = np.ascontiguousarray(bmax, dtype="<f8")
+
+    s0, s1 = gstarts, gends
+    return {
+        "term": list(terms),
+        "salt": salts.astype(np.int32),
+        "n": glens.astype(np.int64),
+        "doc_ids": [dbuf[doff[a]:doff[z]] for a, z in zip(s0, s1)],
+        "tfs": [tbuf[toff[a]:toff[z]] for a, z in zip(s0, s1)],
+        "doclens": [lbuf[loff[a]:loff[z]] for a, z in zip(s0, s1)],
+        "block_last": [
+            blast_le[bo[g]:bo[g + 1]].tobytes() for g in range(ngroups)
+        ],
+        "block_max": [
+            bmax_le[bo[g]:bo[g + 1]].tobytes() for g in range(ngroups)
+        ],
+    }
+
+
+def _runs_to_batch(outs: list[dict]):
+    import pyarrow as pa
+
+    cols = []
+    for name, typ in _PA_POSTINGS_FIELDS:
+        vals: list = []
+        for o in outs:
+            v = o[name]
+            vals.extend(v if isinstance(v, list) else v.tolist())
+        cols.append(pa.array(vals, type=getattr(pa, typ)()))
+    return pa.RecordBatch.from_arrays(cols, [f[0] for f in _PA_POSTINGS_FIELDS])
+
+
+def _encode_sorted_stream(cfg: EngineConfig, avgdl: float):
+    """mapInArrow kernel over a hash(term, salt) shuffle partition already
+    SORTED by (term, salt, doc_id) — the Tungsten sort in the exchange
+    replaces the old in-Python lexsort/factorize/gather, and the kernel
+    becomes ONE linear streaming pass: group boundaries are found C-side
+    (Arrow not_equal on adjacent slices), complete groups within a batch
+    are encoded by the same whole-span vectorized routine, and the one
+    group straddling a batch edge is carried as numpy segments.
+
+    Scale property this buys (vs the previous whole-partition mapInPandas):
+    Python memory is O(arrow batch + largest single group), NOT O(shuffle
+    partition) — a 100 TB build can size shuffle partitions to the JVM's
+    comfort without a Python materialization cliff, and the JVM sort
+    spills gracefully where a pandas concat would OOM."""
     k1, b, B = cfg.k1, cfg.b, cfg.block_size
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [p for p in batches if len(p)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        n = len(pdf)
-        # group-cluster sort WITHOUT touching strings: factorize terms to
-        # int codes (one hash pass), lexsort on (doc_id, salt, code), then
-        # fancy-index ONLY the numeric columns — the string column is never
-        # reordered or copied (group-head terms come from the factorize
-        # uniques). Inter-term order is irrelevant: only same-(term,salt)
-        # adjacency + doc_id order within a group matter.
-        codes, uniques = pd.factorize(pdf["term"], sort=False)
-        order = np.lexsort(
-            (pdf["doc_id"].to_numpy(), pdf["salt"].to_numpy(), codes)
+    def flush_carry(carry):
+        term, salt, parts = carry
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        return _encode_runs(
+            [term], np.array([salt]), ids, tfs, dls,
+            np.array([0]), np.array([ids.size]), B, avgdl, k1, b,
         )
-        codes = codes[order]
-        salts = pdf["salt"].to_numpy()[order]
-        ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        dls = pdf["doclen"].to_numpy()[order].astype(np.uint64)
-        uniques = np.asarray(uniques, dtype=object)
 
-        new_group = np.empty(n, dtype=bool)
-        new_group[0] = True
-        new_group[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
-        gstarts = np.flatnonzero(new_group)
-        ngroups = gstarts.size
-        gid = np.cumsum(new_group) - 1
-        gends = np.append(gstarts[1:], n)
-        glens = gends - gstarts
+    def fn(batches):
+        import pyarrow.compute as pc
 
-        # delta encode doc_ids with a reset at each group start
-        deltas = ids.copy()
-        deltas[1:] = ids[1:] - ids[:-1]
-        deltas[gstarts] = ids[gstarts]
+        carry = None  # (term, salt, [(ids, tfs, dls), ...]) open group
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            t_arr = batch.column("term")
+            salts = batch.column("salt").to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+            tfs = batch.column("tf").to_numpy().astype(np.uint64)
+            dls = batch.column("doclen").to_numpy().astype(np.uint64)
+            if nb > 1:
+                neq = (
+                    pc.not_equal(t_arr.slice(1), t_arr.slice(0, nb - 1))
+                    .to_numpy(zero_copy_only=False)
+                    | (salts[1:] != salts[:-1])
+                )
+                starts = np.flatnonzero(neq) + 1  # group starts at i > 0
+            else:
+                starts = np.empty(0, dtype=np.int64)
 
-        dbuf, dlen = codec.encode_varint_with_lengths(deltas)
-        tbuf, tlen = codec.encode_varint_with_lengths(tfs)
-        lbuf, llen = codec.encode_varint_with_lengths(dls)
-        doff = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(dlen, out=doff[1:])
-        toff = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(tlen, out=toff[1:])
-        loff = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(llen, out=loff[1:])
+            first_term = t_arr[0].as_py()
+            first_salt = int(salts[0])
+            outs = []
+            if carry is not None and (
+                carry[0] != first_term or carry[1] != first_salt
+            ):
+                outs.append(flush_carry(carry))
+                carry = None
 
-        # block-max metadata: blocks are B-runs within each group (the
-        # within-group index resets at group starts, so blocks never span
-        # groups)
-        within = np.arange(n, dtype=np.int64) - gstarts[gid]
-        bstart_rows = np.flatnonzero(within % B == 0)
-        bend_rows = np.append(bstart_rows[1:], n) - 1
-        impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
-        bmax = np.maximum.reduceat(impacts, bstart_rows)
-        blast = ids[bend_rows]
-        # per-group block ranges
-        bgid = gid[bstart_rows]
-        bcounts = np.bincount(bgid, minlength=ngroups)
-        bo = np.zeros(ngroups + 1, dtype=np.int64)
-        np.cumsum(bcounts, out=bo[1:])
-        blast_le = np.ascontiguousarray(blast, dtype="<u8")
-        bmax_le = np.ascontiguousarray(bmax, dtype="<f8")
+            if starts.size == 0:
+                # the whole batch is one (possibly continuing) group
+                seg = (ids, tfs, dls)
+                if carry is None:
+                    carry = (first_term, first_salt, [seg])
+                else:
+                    carry[2].append(seg)
+            else:
+                p1 = int(starts[0])
+                if carry is not None:
+                    # batch prefix closes the open group
+                    carry[2].append((ids[:p1], tfs[:p1], dls[:p1]))
+                    outs.append(flush_carry(carry))
+                    carry = None
+                    mid_lo = p1
+                else:
+                    mid_lo = 0  # the prefix is itself a complete group
+                last = int(starts[-1])
+                if mid_lo < last:
+                    import pyarrow as pa
 
-        s0, s1 = gstarts, gends
-        yield pd.DataFrame(
-            {
-                "term": uniques[codes[gstarts]],
-                "salt": salts[gstarts].astype("int32"),
-                "n": glens.astype("int64"),
-                "doc_ids": [
-                    dbuf[doff[a]:doff[z]] for a, z in zip(s0, s1)
-                ],
-                "tfs": [tbuf[toff[a]:toff[z]] for a, z in zip(s0, s1)],
-                "doclens": [lbuf[loff[a]:loff[z]] for a, z in zip(s0, s1)],
-                "block_last": [
-                    blast_le[bo[g]:bo[g + 1]].tobytes() for g in range(ngroups)
-                ],
-                "block_max": [
-                    bmax_le[bo[g]:bo[g + 1]].tobytes() for g in range(ngroups)
-                ],
-            }
-        )
+                    gs = starts[:-1][starts[:-1] > mid_lo]
+                    gstarts = np.concatenate(([mid_lo], gs)).astype(np.int64)
+                    gends = np.append(gstarts[1:], last)
+                    gterms = t_arr.take(pa.array(gstarts)).to_pylist()
+                    outs.append(
+                        _encode_runs(
+                            gterms, salts[gstarts],
+                            ids[mid_lo:last], tfs[mid_lo:last],
+                            dls[mid_lo:last],
+                            gstarts - mid_lo, gends - mid_lo,
+                            B, avgdl, k1, b,
+                        )
+                    )
+                carry = (
+                    t_arr[last].as_py(), int(salts[last]),
+                    [(ids[last:], tfs[last:], dls[last:])],
+                )
+            if outs:
+                yield _runs_to_batch(outs)
+        if carry is not None:
+            yield _runs_to_batch([flush_carry(carry)])
 
     return fn
 
@@ -254,10 +345,13 @@ def encode_postings(
     triples: DataFrame, terms: DataFrame, cfg: EngineConfig, avgdl: float
 ) -> DataFrame:
     """Shared postings pipeline: salt hot terms (broadcast ONLY the salted
-    subset of the terms table), ONE (term, salt) shuffle into the sorted-run
-    vectorized encoder, then align rows with the bucket partition dirs.
-    Used by the full build, the shard builder, the incremental appender and
-    the segment merge — one tested kernel, four call sites.
+    subset of the terms table), ONE (term, salt) shuffle whose reduce side
+    is JVM-sorted by (term, salt, doc_id) (Tungsten radix sort, spills to
+    disk at scale), then a STREAMING mapInArrow encoder (one linear pass,
+    O(batch + largest group) Python memory), then align rows with the
+    bucket partition dirs. Used by the full build, the shard builder, the
+    incremental appender and the segment merge — one tested kernel, four
+    call sites.
 
     The final bucket repartition is a second exchange, but of the COMPRESSED
     postings bytes (orders of magnitude smaller than the triples the first
@@ -285,10 +379,12 @@ def encode_postings(
             .cast(IntegerType()),
         )
         .drop("n_salts")
+        .select("term", "salt", "doc_id", "tf", "doclen")
     )
     return (
         salted.repartition(cfg.shuffle_partitions, "term", "salt")
-        .mapInPandas(_encode_partition(cfg, avgdl), schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInArrow(_encode_sorted_stream(cfg, avgdl), schema=POSTINGS_SCHEMA)
         .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
         .repartition(cfg.n_buckets, "bucket")
     )
