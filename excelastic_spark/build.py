@@ -229,12 +229,42 @@ def _runs_to_batch(outs: list[dict]):
 
     cols = []
     for name, typ in _PA_POSTINGS_FIELDS:
-        vals: list = []
-        for o in outs:
-            v = o[name]
-            vals.extend(v if isinstance(v, list) else v.tolist())
-        cols.append(pa.array(vals, type=getattr(pa, typ)()))
+        vals = [o[name] for o in outs]
+        if isinstance(vals[0], np.ndarray):
+            flat = np.concatenate(vals) if len(vals) > 1 else vals[0]
+        else:
+            flat = [x for v in vals for x in v]
+        cols.append(pa.array(flat, type=getattr(pa, typ)()))
     return pa.RecordBatch.from_arrays(cols, [f[0] for f in _PA_POSTINGS_FIELDS])
+
+
+def _coalesce_batches(batches, target_rows: int):
+    """Concatenate upstream Arrow batches to ~target_rows before encoding.
+    Spark hands mapInArrow batches of arrow_batch_size (10k) rows; the
+    kernel pays fixed Python costs per batch (column conversions, carry
+    churn, one output RecordBatch per input batch), so coalescing amortizes
+    them ~25x while Python memory stays bounded at O(target_rows + largest
+    group) — the streaming claim is unchanged, the constant is just chosen
+    here instead of by the session's Arrow batch size."""
+    import pyarrow as pa
+
+    buf: list = []
+    rows = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        buf.append(b)
+        rows += b.num_rows
+        if rows >= target_rows:
+            if len(buf) == 1:
+                yield buf[0]
+            else:
+                yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+            buf, rows = [], 0
+    if len(buf) == 1:
+        yield buf[0]
+    elif buf:
+        yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
 
 
 def _encode_sorted_stream(cfg: EngineConfig, avgdl: float):
@@ -263,11 +293,13 @@ def _encode_sorted_stream(cfg: EngineConfig, avgdl: float):
             np.array([0]), np.array([ids.size]), B, avgdl, k1, b,
         )
 
+    coalesce_rows = cfg.encode_coalesce_rows
+
     def fn(batches):
         import pyarrow.compute as pc
 
         carry = None  # (term, salt, [(ids, tfs, dls), ...]) open group
-        for batch in batches:
+        for batch in _coalesce_batches(batches, coalesce_rows):
             nb = batch.num_rows
             if nb == 0:
                 continue

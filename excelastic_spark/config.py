@@ -54,6 +54,10 @@ class EngineConfig:
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
+    # the postings encoder coalesces incoming Arrow batches to this many
+    # rows before its linear pass: bounds Python memory at
+    # O(coalesce + largest group) while amortizing per-batch fixed costs
+    encode_coalesce_rows: int = 262_144
     # scan/shuffle partition sizing: Spark's 128MB/64MB defaults are right
     # at 100 TB; at bench scale (hundreds of MB) they collapse scans to a
     # couple of tasks and starve the cluster — size them so tasks ~ cores
@@ -74,6 +78,18 @@ class EngineConfig:
     default_index: str | None = None
     # refuse destructive clears when locked (Configuration.java index_lock)
     index_lock: bool = False
+    # web head (Configuration.java:35-38: web_port, authentication, basic,
+    # elastic_tls). The reference's basic-auth/TLS knobs secure the hop to
+    # the storage backend (ES); here the storage backend lives BEHIND the
+    # web head, so the same knobs terminate at the head: ``authentication``
+    # requires `Authorization: Basic b64(basic)` on the mutating upload
+    # route, and tls_cert/tls_key (both set) serve HTTPS/WSS via stdlib ssl
+    # — elastic_tls's boolean is subsumed by "are the paths set".
+    web_port: int = 9999
+    authentication: bool = False
+    basic: str = "username:password"
+    tls_cert: str | None = None
+    tls_key: str | None = None
 
     def with_overrides(self, **kw) -> "EngineConfig":
         return replace(self, **kw)

@@ -28,6 +28,12 @@ This engine serves the same journey with the stdlib only:
 * ``GET /`` — status page with the template context the reference injects
   on every route: version, connectivity, locked index, supported files
   (Website.java:60-76).
+* Config knobs (Configuration.java:35-38): ``web_port`` is the default
+  serve port (9999); ``authentication``+``basic`` demand
+  ``Authorization: Basic b64(user:pass)`` on the mutating upload route
+  (the reference attaches the same credential to storage-backend writes,
+  Configuration.java:63-69); ``tls_cert``/``tls_key`` terminate TLS at
+  the head (the elastic_tls analog — the backend lives behind this head).
 
 Progress events come from IndexBuilder's stage hook — the batch-engine
 analog of per-bulk-batch percent: a Spark build is a handful of stages,
@@ -451,10 +457,33 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ---------------------------------------------------------------- POST
 
+    def _authorized(self) -> bool:
+        """Basic-auth gate on the mutating route (Configuration.java:63-69
+        getBasicAuth: when `authentication` is on, every write to the
+        storage backend carries `Basic b64(user:pass)`; the backend lives
+        behind this head, so the head enforces the same credential)."""
+        expected = self.server.expected_basic_auth()
+        if expected is None:
+            return True
+        if self.headers.get("Authorization", "") == expected:
+            return True
+        body = json.dumps({"error": "unauthorized"}).encode("utf-8")
+        self.send_response(401)
+        self.send_header("WWW-Authenticate", 'Basic realm="excelastic"')
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        # the request body was never drained; desynchronized keep-alive
+        self.close_connection = True
+        return False
+
     def do_POST(self) -> None:  # noqa: N802
         path = urlsplit(self.path).path
         if path != "/api/upload":
             self._json({"error": "not found"}, status=404)
+            return
+        if not self._authorized():
             return
         from excelastic_spark.sources.spreadsheet import ParserException
 
@@ -636,6 +665,21 @@ class UploadServer(ThreadingHTTPServer):
         self.service = UploadService(spark, self.cfg, self.bus)
         self.max_upload_bytes = max_upload_bytes
         super().__init__((host, port), _Handler)
+        if self.cfg.tls_cert and self.cfg.tls_key:
+            # TLS terminates at the head (config.py: the elastic_tls analog)
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.cfg.tls_cert, self.cfg.tls_key)
+            self.socket = ctx.wrap_socket(self.socket, server_side=True)
+
+    def expected_basic_auth(self) -> str | None:
+        """`Basic b64(user:pass)` when authentication is enabled, else None
+        (Configuration.java:63-69)."""
+        if not self.cfg.authentication:
+            return None
+        tok = base64.b64encode(self.cfg.basic.encode("utf-8")).decode("ascii")
+        return f"Basic {tok}"
 
     def template_context(self) -> dict[str, Any]:
         """The view model injected on every route (Website.java:60-76)."""
@@ -657,7 +701,7 @@ class UploadServer(ThreadingHTTPServer):
         return t
 
 
-def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 8080,
+def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 9999,
           max_upload_bytes: int = 256 << 20):
     """Blocking entry: `python index.py serve` uses this."""
     srv = UploadServer(spark, cfg, host, port, max_upload_bytes)

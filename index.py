@@ -113,7 +113,11 @@ def main(argv: list[str] | None = None) -> int:
         "(reference Website.java journey)",
     )
     w.add_argument("--host", default="127.0.0.1")
-    w.add_argument("--port", type=int, default=8080)
+    w.add_argument(
+        "--port", type=int, default=None,
+        help="default: the config file's web_port (9999, the reference's "
+        "Configuration.java default)",
+    )
     w.add_argument(
         "--max-upload-mb", type=int, default=256,
         help="reject uploads whose Content-Length exceeds this many MiB "
@@ -241,7 +245,8 @@ def main(argv: list[str] | None = None) -> int:
         from excelastic_spark.web import serve
 
         serve(
-            spark, cfg, host=args.host, port=args.port,
+            spark, cfg, host=args.host,
+            port=args.port if args.port is not None else cfg.web_port,
             max_upload_bytes=args.max_upload_mb << 20,
         )
     spark.stop()

@@ -12,7 +12,9 @@ import pytest
 from excelastic_spark.build import _encode_sorted_stream
 from excelastic_spark.config import EngineConfig
 
-CFG = EngineConfig(block_size=4)
+# encode_coalesce_rows=1 passes each upstream batch straight through, so
+# the chopping parametrization really exercises the carry/straddle paths
+CFG = EngineConfig(block_size=4, encode_coalesce_rows=1)
 AVGDL = 37.0
 
 
@@ -51,8 +53,8 @@ def _batches(rows, sizes):
     return out
 
 
-def _run(rows, sizes):
-    fn = _encode_sorted_stream(CFG, AVGDL)
+def _run(rows, sizes, cfg=CFG):
+    fn = _encode_sorted_stream(cfg, AVGDL)
     got = list(fn(iter(_batches(rows, sizes))))
     tbl = pa.Table.from_batches(got).to_pydict()
     out = {}
@@ -111,3 +113,13 @@ def test_empty_batches_skipped():
     assert sorted(zip(got["term"], got["salt"])) == sorted(
         (g[0], g[1]) for g in GROUPS
     )
+
+
+@pytest.mark.parametrize("coalesce", [1, 2, 6, 10_000_000])
+def test_coalesce_invariance(coalesce):
+    """The pre-encode batch coalescer (build._coalesce_batches) must not
+    change output for any target: same rows whether batches pass through
+    one-by-one, merge partially, or merge into a single span."""
+    cfg = EngineConfig(block_size=4, encode_coalesce_rows=coalesce)
+    for sizes in ([1] * N, [3, 1, 13, 2], [5, 5, 5, 4]):
+        assert _run(ROWS, sizes, cfg) == _run(ROWS, [N])

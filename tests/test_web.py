@@ -465,3 +465,106 @@ def test_long_poll_incremental(server):
     conn.request("GET", f"/api/progress?uploadId=ws1&after={last}")
     assert json.loads(conn.getresponse().read())["events"] == []
     conn.close()
+
+
+def test_basic_auth_gate(spark, tmp_path):
+    """Configuration.java:63-69 getBasicAuth analog: with authentication on,
+    the mutating upload route demands `Basic b64(basic)`; reads stay open
+    (the reference only attaches the credential to storage-backend writes)."""
+    import base64
+
+    cfg = EngineConfig(
+        warehouse=str(tmp_path / "wh"), authentication=True, basic="u:sekrit",
+        default_index="authidx", n_buckets=4, shuffle_partitions=4,
+    )
+    srv = UploadServer(spark, cfg)
+    srv.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        # reads are open
+        conn.request("GET", "/api/status")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        # write without the credential -> 401 + challenge
+        conn.request("POST", "/api/upload", b"", {"Content-Length": "0"})
+        resp = conn.getresponse()
+        assert resp.status == 401
+        assert resp.getheader("WWW-Authenticate").startswith("Basic")
+        resp.read()
+        conn.close()
+        # wrong credential -> 401
+        bad = base64.b64encode(b"u:wrong").decode()
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request(
+            "POST", "/api/upload", b"",
+            {"Content-Length": "0", "Authorization": f"Basic {bad}"},
+        )
+        assert conn.getresponse().status == 401
+        conn.close()
+        # right credential -> passes the gate (200 no-file error view model)
+        tok = base64.b64encode(b"u:sekrit").decode()
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request(
+            "POST", "/api/upload", b"",
+            {"Content-Length": "0", "Authorization": f"Basic {tok}"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["error"] == "No file was uploaded."
+        conn.close()
+    finally:
+        srv.shutdown()
+
+
+def test_tls_serve(spark, tmp_path):
+    """tls_cert/tls_key (the elastic_tls analog) serve HTTPS at the head."""
+    import shutil
+    import ssl
+    import subprocess
+
+    if not shutil.which("openssl"):
+        pytest.skip("no openssl binary to mint a test cert")
+    cert = str(tmp_path / "c.pem")
+    key = str(tmp_path / "k.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    cfg = EngineConfig(
+        warehouse=str(tmp_path / "wh"), tls_cert=cert, tls_key=key,
+        default_index="tlsidx",
+    )
+    srv = UploadServer(spark, cfg)
+    srv.start_background()
+    try:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        conn = http.client.HTTPSConnection(
+            "127.0.0.1", srv.port, timeout=30, context=ctx
+        )
+        conn.request("GET", "/api/status")
+        st = json.loads(conn.getresponse().read())
+        assert st["index"] == "tlsidx"
+        conn.close()
+        # plaintext client against the TLS port must NOT get HTTP back
+        raw = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        try:
+            raw.request("GET", "/api/status")
+            raw.getresponse()
+        except (ConnectionError, http.client.HTTPException, OSError):
+            pass
+        else:
+            raise AssertionError("plaintext request served on a TLS socket")
+        finally:
+            raw.close()
+    finally:
+        srv.shutdown()
+
+
+def test_web_port_config_default():
+    """Configuration.java:35 web_port default is 9999."""
+    assert EngineConfig().web_port == 9999
+    assert EngineConfig().authentication is False
