@@ -121,8 +121,23 @@ def main() -> None:
         t0 = time.time()
         res = qe2h.search_head(["import", "return"], k=10)
         times.append(time.time() - t0)
-    exact_ids = set(int(d) for d in qe2.search(["import", "return"], mode="or", k=10).doc_ids)
-    head_recall = len(set(int(d) for d in res.doc_ids) & exact_ids) / max(len(exact_ids), 1)
+    exact_res = qe2.search(["import", "return"], mode="or", k=10)
+    exact_ids = set(int(d) for d in exact_res.doc_ids)
+    head_ids = [int(d) for d in res.doc_ids]
+    head_recall = len(set(head_ids) & exact_ids) / max(len(exact_ids), 1)
+    # set-recall is the wrong lens on stopword-grade terms: BM25 separates
+    # docs at the ~1e-5 level there (the exact top-10 spans ~1.5e-5 on this
+    # corpus), so an approximate tier can return docs 0.3% off-optimal and
+    # still score recall 0.2. Report the honest quality number too: max
+    # RELATIVE SCORE REGRET of the head's results vs the k-th exact score,
+    # with exact scores read from a wide exact search.
+    kth = float(exact_res.scores.min())
+    wide = qe2.search(["import", "return"], mode="or", k=2000)
+    wide_min = float(wide.scores.min())
+    escore = {int(d): float(s) for d, s in zip(wide.doc_ids, wide.scores)}
+    head_regret = max(
+        max(0.0, kth - escore.get(d, wide_min)) for d in head_ids
+    ) / kth if head_ids else 0.0
 
     total = queries["build_docs_table"] + queries["build_synth"] + sum(lat_all)
     out = {
@@ -137,6 +152,7 @@ def main() -> None:
         "heads_build_sec": round(heads_build_sec, 3),
         "head_q_p50_sec": round(statistics.median(times), 4),
         "head_recall_at_10": round(head_recall, 3),
+        "head_max_regret_rel": round(head_regret, 6),
         "cpus": int(CPUS),
     }
     spark.stop()
