@@ -104,7 +104,7 @@ def _bm25_head(terms: list[str], k: int):
         if not qe._heads_fresh():
             from excelastic_spark.heads import build_heads
 
-            build_heads(spark, qe.store, ENTRY_CFG, head_size=1_000_000)
+            build_heads(spark, qe.store, head_size=1_000_000)
         res = qe.search_head(terms, k=k + 100)
         assert res.set_exact is True  # full coverage must certify
         return _rerank_e6(spark, res.to_pandas(), k)

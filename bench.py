@@ -112,7 +112,7 @@ def main() -> None:
     from excelastic_spark.heads import build_heads
 
     t0 = time.time()
-    build_heads(spark, store2, synth_cfg, head_size=4096)
+    build_heads(spark, store2, head_size=4096)
     heads_build_sec = time.time() - t0
     qe2h = QueryEngine(spark, store2, synth_cfg)
     qe2h.search_head(["import", "return"], k=10)  # warm

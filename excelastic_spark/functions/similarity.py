@@ -41,7 +41,11 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    # try_divide: a zero-norm vector yields NULL similarity (excluded from
+    # top-k / cell assignment) instead of an ANSI DIVIDE_BY_ZERO error —
+    # Spark 4 runs ANSI mode by default, so a single all-zeros embedding
+    # would otherwise kill the whole job
+    return F.try_divide(dot_col(a, b), norm_col(a) * norm_col(b))
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -87,11 +91,21 @@ def ivf_assign(
     is a groupBy with map-side partial aggregation; the broadcast join
     itself is a narrow map over the vector table."""
     spark = emb.sparkSession
+    if not centroids:
+        # degenerate input keeps the pre-broadcast contract: no cell
+        return emb.select(
+            F.col(id_col), F.col(vec_col), F.lit(-1).alias("cell")
+        )
     cent = spark.createDataFrame(
         [(int(cid), [float(v) for v in cvec]) for cid, cvec in centroids],
         schema="cid int, cvec array<double>",
     )
-    sim = cosine_col(F.col(vec_col), F.col("cvec"))
+    raw_sim = cosine_col(F.col(vec_col), F.col("cvec"))
+    # a zero-norm vector (or centroid) yields NaN cosine; Spark orders NaN
+    # ABOVE every double, so an unguarded max() would assign such vectors
+    # to a real cell — null the NaN so it loses, and fall back to cell=-1
+    # when every sim is NaN (the pre-broadcast when-chain's behavior)
+    sim = F.when(F.isnan(raw_sim), F.lit(None)).otherwise(raw_sim)
     scored = emb.join(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -104,7 +118,13 @@ def ivf_assign(
     return (
         scored.groupBy(id_col, vec_col)
         .agg(F.max("sc").alias("best"))
-        .select(F.col(id_col), F.col(vec_col), F.col("best.cid").alias("cell"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.when(F.col("best.sim").isNull(), F.lit(-1))
+            .otherwise(F.col("best.cid"))
+            .alias("cell"),
+        )
     )
 
 

@@ -54,7 +54,6 @@ from pyspark.sql.types import (
 
 from excelastic_spark import codec
 from excelastic_spark.catalog import IndexStore
-from excelastic_spark.config import EngineConfig
 
 HEADS_SCHEMA = StructType(
     [
@@ -123,7 +122,6 @@ def _head_kernel(head_size: int, avgdl: float, k1: float, b: float):
 def build_heads(
     spark: SparkSession,
     store: IndexStore,
-    cfg: EngineConfig | None = None,
     head_size: int = DEFAULT_HEAD_SIZE,
 ) -> str:
     """Derive the head tier from the committed postings table — a map-only

@@ -419,6 +419,12 @@ class QueryEngine:
                 "head tier missing or stale for this index — run "
                 "`index.py heads` (build_heads) after builds/appends"
             )
+        if k <= 0:  # mirror search(): empty result, never scores[-1] on []
+            return QueryResult(
+                np.empty(0, np.uint64), np.empty(0, np.float64),
+                approximate=True, caps={}, set_exact=False,
+                score_gap=np.empty(0, np.float64),
+            )
         t0 = time.time()
         uniq = sorted(set(terms))
         rows = self._fetch_rows("heads", uniq)
@@ -641,7 +647,15 @@ def _dense_topk(
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     span = int(max(int(r.doc_ids.max()) for r in raws)) + 1
     acc = np.zeros(span, dtype=np.float64)
-    cnt = np.zeros(span, dtype=np.uint8) if conjunctive else None
+    # counter dtype sized to the term count: the auto path prefers <=255
+    # terms (uint8), but a FORCED algo='dense' with more must not let the
+    # counter wrap and silently drop conjunctive matches
+    if conjunctive:
+        cdt = (np.uint8 if len(raws) <= 255
+               else np.uint16 if len(raws) <= 65535 else np.uint32)
+        cnt = np.zeros(span, dtype=cdt)
+    else:
+        cnt = None
     for r in sorted(raws, key=lambda r: r.term):  # lex fold order
         acc[r.doc_ids] += r.idf * r.impacts
         if cnt is not None:

@@ -385,6 +385,8 @@ class _Handler(BaseHTTPRequestHandler):
         """The done view (templates/done.jade: 'Success!' + imported rows
         sentence + ANOTHER FILE link), rendered from the same context the
         reference injects (Website.java:164-170)."""
+        import html as _html_mod
+
         ctx = self.server.template_context()
         return (
             "<html><head><title>excelastic {version}</title></head><body>"
@@ -393,8 +395,12 @@ class _Handler(BaseHTTPRequestHandler):
             "successfully. <a href='/'>ANOTHER FILE</a></p>"
             "</body></html>"
         ).format(
-            version=ctx["version"], imported=imported, file=filename,
-            index=index,
+            # filename and index are client-controlled: escape them or a
+            # crafted filename becomes stored XSS in the operator's browser
+            version=_html_mod.escape(str(ctx["version"])),
+            imported=int(imported),
+            file=_html_mod.escape(filename),
+            index=_html_mod.escape(index),
         )
 
     def _error_view(self, message: str) -> str:
@@ -523,11 +529,10 @@ class _Handler(BaseHTTPRequestHandler):
         params = {**self._params(), **fields}
 
         if not files:
-            # reroute(ERROR) with 200 + message (Website.java:146-149)
-            if self._wants_html():
-                self._html(self._error_view(NO_FILE_WAS_UPLOADED))
-            else:
-                self._json({"error": NO_FILE_WAS_UPLOADED})
+            # reroute(ERROR) with 200 + message (Website.java:146-149);
+            # routed through fail() so a subscriber on this uploadId gets
+            # its terminal 'error' event instead of waiting forever
+            fail(params.get("uploadId", ""), NO_FILE_WAS_UPLOADED)
             return
         filename, payload = files[0]  # first upload only, like the reference
         event = ImportEvent(index="", upload_id=params.get("uploadId", ""))

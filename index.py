@@ -219,7 +219,7 @@ def main(argv: list[str] | None = None) -> int:
         from excelastic_spark.heads import DEFAULT_HEAD_SIZE, build_heads
 
         path = build_heads(
-            spark, store, cfg, head_size=args.head_size or DEFAULT_HEAD_SIZE
+            spark, store, head_size=args.head_size or DEFAULT_HEAD_SIZE
         )
         print(json.dumps({"heads": path}))
     elif args.cmd == "merge":

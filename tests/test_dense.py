@@ -98,3 +98,18 @@ def test_dense_empty_and_k0():
         assert ids.size == 0 and scores.size == 0
         ids, scores = _dense_topk([], 5, conjunctive=conj)
         assert ids.size == 0 and scores.size == 0
+
+
+def test_forced_dense_and_over_255_terms_counter_widens():
+    """A FORCED dense conjunction with >255 terms must not wrap the match
+    counter (uint8) and silently drop docs matching all terms."""
+    n_terms = 300
+    raws = []
+    for t in range(n_terms):
+        # doc 0 and doc 1 appear in every term; doc 2 in only one
+        ids = [0, 1] + ([2] if t == 0 else [])
+        imp = [1.0] * len(ids)
+        raws.append(make_pair(f"t{t:03d}", ids, imp, idf=0.5)[0])
+    ids, scores = _dense_topk(raws, k=10, conjunctive=True)
+    assert set(int(d) for d in ids) == {0, 1}
+    assert np.allclose(scores, 0.5 * n_terms)

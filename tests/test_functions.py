@@ -406,3 +406,23 @@ def test_persisted_shingle_stats_reused(spark, tmp_path):
         hash_family="md5", max_shingle_df=10, shingle_stats=stats,
     ).toPandas()
     assert key(fresh_mh) == key(reused_mh) and len(fresh_mh) > 0
+
+
+def test_ivf_assign_degenerate_inputs(spark):
+    """Zero-norm vectors (NaN cosine vs every centroid) must land in
+    cell=-1, not a real cell (Spark orders NaN above all doubles, so an
+    unguarded struct-max would mis-assign them); an empty centroid list
+    assigns every vector to cell=-1 instead of silently dropping rows."""
+    from pyspark.sql import functions as F
+
+    from excelastic_spark.functions.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        schema="vec_id int, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    assert rows == {0: -1, 1: 0, 2: 1}
+    empty = ivf_assign(emb, []).collect()
+    assert {r["vec_id"]: r["cell"] for r in empty} == {0: -1, 1: -1, 2: -1}

@@ -52,7 +52,7 @@ def _exact_scores(qe: QueryEngine, terms: list[str]) -> dict[int, float]:
 
 def test_full_coverage_is_exact_and_certified(built):
     spark, store, cfg = built
-    build_heads(spark, store, cfg, head_size=10**6)
+    build_heads(spark, store, head_size=10**6)
     qe = QueryEngine(spark, store, cfg)
     for terms in QUERIES:
         h = qe.search_head(terms, k=10)
@@ -66,7 +66,7 @@ def test_full_coverage_is_exact_and_certified(built):
 
 def test_truncated_bounds_and_certificate(built):
     spark, store, cfg = built
-    build_heads(spark, store, cfg, head_size=16)
+    build_heads(spark, store, head_size=16)
     qe = QueryEngine(spark, store, cfg)
     hits = total = 0
     for terms in QUERIES:
@@ -90,7 +90,7 @@ def test_append_invalidates_then_rebuild(built):
     spark, store, cfg = built
     from excelastic_spark.streaming.incremental import IncrementalIndexer
 
-    build_heads(spark, store, cfg, head_size=10**6)
+    build_heads(spark, store, head_size=10**6)
     more = synthesize_corpus(spark, 40, partitions=1, seed=123).withColumn(
         "path", F.concat(F.lit("inc/"), F.col("path"))
     )
@@ -98,9 +98,21 @@ def test_append_invalidates_then_rebuild(built):
     qe = QueryEngine(spark, store, cfg)
     with pytest.raises(ValueError, match="stale"):
         qe.search_head(["import"], k=5)
-    build_heads(spark, store, cfg, head_size=10**6)
+    build_heads(spark, store, head_size=10**6)
     h = qe.search_head(["import", "return"], k=10)
     e = qe.search(["import", "return"], "or", k=10)
     assert np.array_equal(h.doc_ids, e.doc_ids)
     assert np.array_equal(h.scores, e.scores)
     assert h.set_exact is True
+
+
+def test_search_head_k_zero_returns_empty(built):
+    """k<=0 mirrors search(): an empty result, never an IndexError from
+    scores[-1] on an empty array (truncated-tier branch)."""
+    spark, store, cfg = built
+    build_heads(spark, store, head_size=4)  # truncated -> total_cap > 0
+    qe = QueryEngine(spark, store, cfg)
+    for k in (0, -3):
+        res = qe.search_head(["import", "return"], k=k)
+        assert res.doc_ids.size == 0 and res.scores.size == 0
+        assert res.approximate is True

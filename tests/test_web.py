@@ -568,3 +568,50 @@ def test_web_port_config_default():
     """Configuration.java:35 web_port default is 9999."""
     assert EngineConfig().web_port == 9999
     assert EngineConfig().authentication is False
+
+
+def test_no_file_publishes_terminal_error_event(server):
+    """EVERY failure path must emit a terminal error event, or subscribers
+    on that uploadId wait forever (the fail() invariant)."""
+    boundary = "b1"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="uploadId"'
+        f"\r\n\r\nnofile7\r\n--{boundary}--\r\n"
+    ).encode()
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request(
+        "POST", "/api/upload", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert conn.getresponse().status == 200
+    conn.close()
+    evs = server.bus.since("nofile7", 0)
+    assert evs and evs[-1]["action"] == "error"
+    assert evs[-1]["message"] == "No file was uploaded."
+
+
+def test_done_view_escapes_client_controlled_markup(server):
+    """A crafted filename must not become stored XSS in the done view."""
+    evil = '<script>alert(1)</script>.csv'
+    boundary = "b2" + secrets.token_hex(8)
+    parts = [
+        f'--{boundary}\r\nContent-Disposition: form-data; name="index"'
+        f"\r\n\r\nxssidx\r\n".encode(),
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="{evil}"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n".encode()
+        + CSV.encode() + b"\r\n",
+    ]
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+    conn.request(
+        "POST", "/api/upload", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}",
+         "Accept": "text/html"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    html = resp.read().decode()
+    conn.close()
+    assert "<script>" not in html
+    assert "&lt;script&gt;" in html

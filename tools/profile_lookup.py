@@ -57,7 +57,7 @@ def main() -> None:
 
     import pyarrow.dataset as pads
 
-    dset = qe._arrow_dataset()
+    dset = qe._dataset("postings")
     out = {}
     for term in terms:
         buckets = qe._buckets_for([term])
