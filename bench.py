@@ -133,10 +133,26 @@ def main() -> None:
     # with exact scores read from a wide exact search.
     kth = float(exact_res.scores.min())
     wide = qe2.search(["import", "return"], mode="or", k=2000)
-    wide_min = float(wide.scores.min())
     escore = {int(d): float(s) for d, s in zip(wide.doc_ids, wide.scores)}
+
+    def exact_score_of(doc: int) -> float:
+        # a head doc outside the wide exact top-2000 has true score BELOW
+        # wide_min; substituting wide_min would understate its regret
+        # (optimistic). Score it exactly from the postings instead — same
+        # lex-term fold order as the engine's scorers.
+        import numpy as _np
+
+        s = 0.0
+        for t in sorted(_tps):
+            tp = _tps[t]
+            i = int(_np.searchsorted(tp.doc_ids, doc))
+            if i < tp.doc_ids.size and int(tp.doc_ids[i]) == doc:
+                s += float(tp.weights[i])
+        return s
+
+    _tps = qe2.lookup(["import", "return"])
     head_regret = max(
-        max(0.0, kth - escore.get(d, wide_min)) for d in head_ids
+        max(0.0, kth - escore.get(d, exact_score_of(d))) for d in head_ids
     ) / kth if head_ids else 0.0
 
     total = queries["build_docs_table"] + queries["build_synth"] + sum(lat_all)

@@ -248,6 +248,17 @@ def _coalesce_batches(batches, target_rows: int):
     here instead of by the session's Arrow batch size."""
     import pyarrow as pa
 
+    def flush(buf):
+        if len(buf) == 1:
+            yield buf[0]
+        else:
+            # combine_chunks may return MULTIPLE batches when a coalesced
+            # string/binary column would exceed the 2^31-byte offset limit;
+            # taking only [0] would silently drop the rest. The downstream
+            # encoder's carry logic handles groups split across yielded
+            # batches, so forwarding every batch is always safe.
+            yield from pa.Table.from_batches(buf).combine_chunks().to_batches()
+
     buf: list = []
     rows = 0
     for b in batches:
@@ -256,15 +267,10 @@ def _coalesce_batches(batches, target_rows: int):
         buf.append(b)
         rows += b.num_rows
         if rows >= target_rows:
-            if len(buf) == 1:
-                yield buf[0]
-            else:
-                yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+            yield from flush(buf)
             buf, rows = [], 0
-    if len(buf) == 1:
-        yield buf[0]
-    elif buf:
-        yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+    if buf:
+        yield from flush(buf)
 
 
 def _encode_sorted_stream(cfg: EngineConfig, avgdl: float):

@@ -278,37 +278,102 @@ def minhash_lsh_candidates(
     )
 
 
+def _let(value: Column, fn) -> Column:
+    """Catalyst let-binding: evaluate ``value`` ONCE and expose it to
+    ``fn`` as a lambda VARIABLE via a single-element transform. A captured
+    outer expression referenced inside a higher-order-function lambda is
+    otherwise re-evaluated per element — quadratic for array-building
+    subexpressions like array_sort."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def simhash64(text: Column, tf_weighted: bool = True) -> Column:
     """Charikar simhash: per token, a 60-bit md5-derived hash votes ±tf on
-    each bit position; fingerprint bit = sign of the vote sum. Pure
-    aggregate expressions (the 60 per-bit sums fuse into one codegen'd
-    projection + one aggregate)."""
+    each bit position; fingerprint bit = sign of the vote sum.
+
+    Shape (VERDICT r4 #1): (token, tf) pairs come from ONE array_sort +
+    run-length pass — O(len log len) per doc — not the old
+    array_distinct × filter-count projection, which was O(len²)
+    comparisons (a 100k-token doc cost ~1e9 comparisons). Two structural
+    rules make that complexity real in Catalyst:
+
+    * captured outer expressions inside a HOF lambda are RE-EVALUATED per
+      element (the sort would run once per token, O(len² log len)), so the
+      sorted array and the run-start positions are LET-BOUND as lambda
+      variables via single-element ``transform`` wrappers (:func:`_let`);
+    * the 60 per-bit vote sums fold into ONE ``aggregate`` with an
+      array<long>(60) accumulator instead of 60 sibling aggregates each
+      inlining its own copy of the pair pipeline."""
     toks = tokens_col(text)
-    # (token, tf) pairs without a shuffle: aggregate inside the array
-    distinct = F.array_distinct(toks)
-    tf = F.transform(
-        distinct,
-        lambda t: F.size(F.filter(toks, lambda x: x == t)),
-    )
-    h = F.transform(distinct, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    bits = []
-    for i in range(60):
-        vote = F.aggregate(
+
+    def body(st: Column, starts: Column) -> Column:
+        n, m = F.size(st), F.size(starts)
+        # one (h, tf) struct per distinct token: h = top-60 md5 bits,
+        # tf = gap to the next run start (sentinel n+1 past the last run)
+        pairs = F.transform(
+            starts,
+            lambda s, j: F.struct(
+                F.conv(F.substring(F.md5(F.element_at(st, s)), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h"),
+                (
+                    (
+                        F.when(
+                            j + 2 <= m, F.element_at(starts, j + 2)
+                        ).otherwise(n + 1)
+                        - s
+                    )
+                    if tf_weighted
+                    else F.lit(1)
+                )
+                .cast("long")
+                .alias("tf"),
+            ),
+        )
+        masks = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
+        votes = F.aggregate(
+            pairs,
+            F.array_repeat(F.lit(0).cast("long"), 60),
+            lambda acc, x: F.zip_with(
+                acc,
+                masks,
+                lambda v, mask: v
+                + F.when(x["h"].bitwiseAND(mask) != 0, x["tf"]).otherwise(
+                    -x["tf"]
+                ),
+            ),
+        )
+        return F.aggregate(
             F.zip_with(
-                h,
-                tf,
-                lambda hv, tfv: F.when(
-                    hv.bitwiseAND(F.lit(1 << i)) != 0, tfv
-                ).otherwise(-tfv),
+                votes,
+                masks,
+                lambda v, mask: F.when(v > 0, mask).otherwise(
+                    F.lit(0).cast("long")
+                ),
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
+
+    def starts_of(st: Column) -> Column:
+        n = F.size(st)
+        # guard n == 0: sequence(1, 0) yields a DESCENDING [1, 0], not [];
+        # 1-based positions where a new run starts. when() (not |) keeps
+        # the i-1 branch unevaluated at i == 1 — element_at(_, 0) throws
+        idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.filter(
+            idx,
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(st, i) != F.element_at(st, i - 1)
+            ),
+        )
+
+    return _let(
+        F.array_sort(toks),
+        lambda st: _let(starts_of(st), lambda starts: body(st, starts)),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

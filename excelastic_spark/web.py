@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import base64
 import email.parser
+import hmac
 import email.policy
 import hashlib
 import json
@@ -108,8 +109,17 @@ class ProgressBus:
             for q in self._subs.get(upload_id, []):
                 q.put(ev)
             while len(self._events) > self._max_uploads:
+                # never evict the upload that was JUST published: if every
+                # older tracked upload holds a live subscriber, evicting the
+                # newcomer would drop its history before a polling
+                # (non-subscribed) /api/progress client ever sees it
                 victim = next(
-                    (u for u in self._events if not self._subs.get(u)), None
+                    (
+                        u
+                        for u in self._events
+                        if u != upload_id and not self._subs.get(u)
+                    ),
+                    None,
                 )
                 if victim is None:  # every tracked upload has a live sub
                     break
@@ -471,7 +481,12 @@ class _Handler(BaseHTTPRequestHandler):
         expected = self.server.expected_basic_auth()
         if expected is None:
             return True
-        if self.headers.get("Authorization", "") == expected:
+        # constant-time compare: == short-circuits on the first differing
+        # byte and leaks credential prefix length via timing on a
+        # non-loopback bind
+        if hmac.compare_digest(
+            self.headers.get("Authorization", ""), expected
+        ):
             return True
         body = json.dumps({"error": "unauthorized"}).encode("utf-8")
         self.send_response(401)
@@ -710,5 +725,9 @@ def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 9999,
           max_upload_bytes: int = 256 << 20):
     """Blocking entry: `python index.py serve` uses this."""
     srv = UploadServer(spark, cfg, host, port, max_upload_bytes)
-    print(f"excelastic-spark web on http://{host}:{srv.port}")
+    # scheme must match the socket: UploadServer wraps it in TLS when both
+    # cert and key are configured, and printing http:// there misleads
+    # operators into connecting with the wrong scheme
+    scheme = "https" if (srv.cfg.tls_cert and srv.cfg.tls_key) else "http"
+    print(f"excelastic-spark web on {scheme}://{host}:{srv.port}")
     srv.serve_forever()

@@ -426,3 +426,46 @@ def test_ivf_assign_degenerate_inputs(spark):
     assert rows == {0: -1, 1: 0, 2: 1}
     empty = ivf_assign(emb, []).collect()
     assert {r["vec_id"]: r["cell"] for r in empty} == {0: -1, 1: -1, 2: -1}
+
+
+def test_simhash_long_doc_linear_time_and_exact(spark):
+    """simhash64's per-doc tf must be run-length (O(len log len)), not the
+    distinct-x-filter-count O(len^2) shape VERDICT r4 flagged: a >=50k-token
+    doc completes in bounded time, and the fingerprint equals a pure-Python
+    (token, tf) reference bit-for-bit."""
+    import hashlib
+    import re
+    import time
+    from collections import Counter
+
+    from excelastic_spark.functions.dedup import simhash64
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:04d}" for i in range(500)]
+    toks = [vocab[i] for i in rng.integers(0, len(vocab), size=60_000)]
+    text = " ".join(toks)
+
+    def ref_simhash(t: str) -> int:
+        words = [w for w in re.split(r"[^a-z0-9_]+", t.lower()) if w]
+        votes = [0] * 60
+        for tok, tf in Counter(words).items():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += tf if (h >> i) & 1 else -tf
+        return sum(1 << i for i in range(60) if votes[i] > 0)
+
+    df = spark.createDataFrame(
+        [(0, text), (1, ""), (2, "!!! ???")], "doc_id long, text string"
+    )
+    t0 = time.time()
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", simhash64(F.col("text")).alias("fp")
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    assert got[0] == ref_simhash(text)
+    assert got[1] == 0 and got[2] == 0  # token-less docs: degenerate 0, no error
+    # the quadratic shape took minutes at this length; linear is seconds
+    assert elapsed < 60, elapsed
