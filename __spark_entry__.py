@@ -89,14 +89,15 @@ def _bm25(terms: list[str], mode: str, k: int, distributed: bool = False):
     return run
 
 
-def _bm25_head(terms: list[str], k: int):
-    """BM25 OR top-k served from the impact-ordered head tier
-    (heads.py / QueryEngine.search_head) built at FULL coverage
-    (head_size >= every df), where the tier's contract guarantees
-    bit-exact results with a set_exact certificate — so the same DuckDB
-    BM25 oracle validates the whole head path end-to-end (fetch, fused
-    decode, exclusion bounds, certificate). Truncated-head semantics
-    (lower-bound scores + gap bounds) are pytest-covered
+def _bm25_head(terms: list[str], k: int, mode: str = "or"):
+    """BM25 top-k (OR or conjunctive AND, r5) served from the
+    impact-ordered head tier (heads.py / QueryEngine.search_head) built at
+    FULL coverage (head_size >= every df), where the tier's contract
+    guarantees bit-exact results with a set_exact certificate — so the
+    same DuckDB BM25 oracle validates the whole head path end-to-end
+    (fetch, fused decode, exclusion bounds, intersection, certificate).
+    Truncated-head semantics (OR lower-bound scores + gap bounds; AND
+    exact-subset candidates + cut-doc score bound) are pytest-covered
     (tests/test_heads.py)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +106,7 @@ def _bm25_head(terms: list[str], k: int):
             from excelastic_spark.heads import build_heads
 
             build_heads(spark, qe.store, head_size=1_000_000)
-        res = qe.search_head(terms, k=k + 100)
+        res = qe.search_head(terms, k=k + 100, mode=mode)
         assert res.set_exact is True  # full coverage must certify
         return _rerank_e6(spark, res.to_pandas(), k)
 
@@ -815,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_k1": _bm25(["hash", "join"], "or", 1),
         "bm25_or_distributed": _bm25(["table", "query"], "or", 10, distributed=True),
         "bm25_head_or": _bm25_head(["batch", "scan", "join"], 10),
+        "bm25_head_and": _bm25_head(["customer", "window", "sort"], 10, "and"),
         # --- training-data pipeline operators ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -902,6 +904,7 @@ FROM toks JOIN documents USING (doc_id)
         "bm25_k1": _bm25_sql(["hash", "join"], "or", 1),
         "bm25_or_distributed": _bm25_sql(["table", "query"], "or", 10),
         "bm25_head_or": _bm25_sql(["batch", "scan", "join"], "or", 10),
+        "bm25_head_and": _bm25_sql(["customer", "window", "sort"], "and", 10),
         "token_count": f"""
 {tok_cte}
 SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks

@@ -28,10 +28,26 @@ by hash, so the union of per-salt heads need not equal the global top-M —
 but every excluded posting is covered by its own row's bound, so the
 certificate stays valid regardless of how the head mass splits.
 
-Scale shape: building the tier is ONE map-only pass over the postings
+Scale shape: building the tier is a map-only pass over the postings
 table (no shuffle — each row truncates independently in its executor);
-the tier itself is <= head_size postings per term, so a search head can
-hold it in page cache and serve monster-term queries in O(head_size).
+the tier itself is <= head_size postings per term PER SEGMENT, so a
+search head can hold it in page cache and serve monster-term queries in
+O(segments * head_size) — and ``merge_segments`` compaction restores
+O(head_size).
+
+Incremental maintenance (round 5): the tier is derived PER POSTINGS
+SNAPSHOT by a pure function of that snapshot's rows plus parameters
+pinned in the manifest at tier creation (``head_size`` and the selection
+statistic's ``avgdl_ref``/``k1``/``b``; the per-term salt-row count comes
+from the snapshot itself, not the drifting terms table). The manifest
+records a postings-snapshot -> heads-snapshot mapping, so after an
+``append_increment`` only the NEW segment is derived (:func:`refresh_heads`,
+O(increment) not O(index)) and the result is bit-equal to a from-scratch
+:func:`build_heads` run with the same pinned parameters. The exclusion
+bounds never depended on avgdl (monotone in tf up / dl down for ANY
+avgdl), so a pinned selection statistic stays CORRECT under avgdl drift —
+only which postings land in the head is frozen, and the certificate
+machinery reports exactness regardless.
 """
 
 from __future__ import annotations
@@ -119,32 +135,124 @@ def _head_kernel(head_size: int, avgdl: float, k1: float, b: float):
     return fn
 
 
+def _derive_segment_heads(
+    spark: SparkSession,
+    postings_path: str,
+    head_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """PURE per-snapshot derivation: heads for one postings snapshot from
+    that snapshot's rows + pinned parameters only. The per-salt budget
+    divides head_size by the term's ACTUAL salt-row count within the
+    snapshot (a groupBy over the segment's vocab-sized index rows, then a
+    broadcast map-side join back) — not the terms table's planning value,
+    which drifts as appends re-plan salting and would make incremental
+    maintenance diverge from a from-scratch rebuild."""
+    seg = spark.read.parquet(postings_path).select(
+        "term", "salt", "n", "doc_ids", "tfs", "doclens", "bucket"
+    )
+    counts = seg.groupBy("term").agg(F.count(F.lit(1)).alias("n_salts"))
+    return seg.join(F.broadcast(counts), "term").mapInPandas(
+        _head_kernel(int(head_size), avgdl, k1, b), schema=HEADS_SCHEMA
+    )
+
+
+def _postings_paths(store: IndexStore) -> list[str]:
+    loc = store.table_path("postings")
+    return loc if isinstance(loc, list) else [loc]
+
+
 def build_heads(
     spark: SparkSession,
     store: IndexStore,
     head_size: int = DEFAULT_HEAD_SIZE,
-) -> str:
-    """Derive the head tier from the committed postings table — a map-only
-    executor pass (no shuffle; the broadcast n_salts join is map-side).
-    The commit atomically records which postings snapshots the tier was
-    derived from; any later append changes that list, and
-    ``QueryEngine.search_head`` refuses a stale tier."""
+    avgdl_ref: float | None = None,
+) -> list[str]:
+    """(Re)derive the whole head tier — one map-only executor pass per
+    postings snapshot (no shuffle; the salt-count join is broadcast
+    map-side). The commit atomically records the per-snapshot mapping plus
+    the pinned selection parameters; later appends invalidate the tier
+    until :func:`refresh_heads` (incremental) or this function (full,
+    re-pins avgdl_ref to current stats) runs again.
+
+    ``avgdl_ref`` overrides the selection statistic's avgdl (defaults to
+    the CURRENT stats avgdl). Selection only ranks postings within a row;
+    the exclusion bounds are avgdl-free, so any pin is correct."""
     st = store.read_table(spark, "stats").collect()[0]
-    avgdl, k1, b = float(st["avgdl"]), float(st["k1"]), float(st["b"])
-    postings = store.read_table(spark, "postings")
-    n_salts = store.read_table(spark, "terms").select("term", "n_salts")
-    heads = postings.join(F.broadcast(n_salts), "term").mapInPandas(
-        _head_kernel(int(head_size), avgdl, k1, b), schema=HEADS_SCHEMA
-    )
-    path = store.stage_table(heads, "heads", partition_by=["bucket"])
-    loc = store.table_path("postings")
+    avgdl = float(avgdl_ref) if avgdl_ref is not None else float(st["avgdl"])
+    k1, b = float(st["k1"]), float(st["b"])
+    seg_paths = _postings_paths(store)
+    writes: list[tuple[str, str, str]] = []
+    segments: dict[str, str] = {}
+    for i, p in enumerate(seg_paths):
+        heads = _derive_segment_heads(spark, p, head_size, avgdl, k1, b)
+        hp = store.stage_table(heads, "heads", partition_by=["bucket"])
+        writes.append(("heads", hp, "overwrite" if i == 0 else "append"))
+        segments[p] = hp
     store.commit_snapshot(
-        [("heads", path, "overwrite")],
+        writes,
         stages={
             "heads": {
                 "head_size": int(head_size),
-                "postings": loc if isinstance(loc, list) else [loc],
+                "avgdl_ref": avgdl,
+                "k1": k1,
+                "b": b,
+                "postings": seg_paths,
+                "segments": segments,
             }
         },
     )
-    return path
+    return [w[1] for w in writes]
+
+
+def refresh_heads(spark: SparkSession, store: IndexStore) -> list[str]:
+    """Incrementally bring the head tier up to date with the postings
+    table: derive heads ONLY for postings snapshots not yet in the
+    manifest's segment mapping (O(increment) after an append), reusing the
+    committed heads snapshots of unchanged segments. After a
+    ``merge_segments`` compaction every postings path is new, so this
+    degrades to the full rebuild it has to be. Bit-equal to
+    ``build_heads(head_size=pinned, avgdl_ref=pinned)`` by construction —
+    both run the same pure per-snapshot derivation. Returns the NEWLY
+    derived heads snapshot paths ([] when already fresh)."""
+    meta = store.manifest().get("stages", {}).get("heads")
+    if not meta or "segments" not in meta:
+        raise ValueError(
+            "no incremental head tier to refresh — run build_heads first"
+        )
+    head_size = int(meta["head_size"])
+    avgdl, k1, b = float(meta["avgdl_ref"]), float(meta["k1"]), float(meta["b"])
+    segments = dict(meta["segments"])
+    cur = _postings_paths(store)
+    if list(meta.get("postings", [])) == cur:
+        return []
+    desired: list[str] = []
+    new_paths: list[str] = []
+    for p in cur:
+        if p in segments:
+            desired.append(segments[p])
+        else:
+            heads = _derive_segment_heads(spark, p, head_size, avgdl, k1, b)
+            hp = store.stage_table(heads, "heads", partition_by=["bucket"])
+            desired.append(hp)
+            new_paths.append(hp)
+    writes = [
+        ("heads", hp, "overwrite" if i == 0 else "append")
+        for i, hp in enumerate(desired)
+    ]
+    store.commit_snapshot(
+        writes,
+        stages={
+            "heads": {
+                "head_size": head_size,
+                "avgdl_ref": avgdl,
+                "k1": k1,
+                "b": b,
+                "postings": cur,
+                "segments": dict(zip(cur, desired)),
+            }
+        },
+    )
+    return new_paths

@@ -400,32 +400,50 @@ class QueryEngine:
         cur = loc if isinstance(loc, list) else [loc]
         return list(meta.get("postings", [])) == list(cur)
 
-    def search_head(self, terms: list[str], k: int = 10) -> QueryResult:
-        """Bounded-latency approximate disjunctive top-k over the
-        impact-ordered head tier (heads.py): reads <= head_size postings
-        per term regardless of df, so monster-df (stopword-grade) terms
-        serve in milliseconds instead of O(df) seconds.
+    def search_head(
+        self, terms: list[str], k: int = 10, mode: str = "or"
+    ) -> QueryResult:
+        """Bounded-latency approximate top-k over the impact-ordered head
+        tier (heads.py): reads <= segments * head_size postings per term
+        regardless of df, so monster-df (stopword-grade) terms serve in
+        milliseconds instead of O(df) seconds.
 
         Contract (differs from search(), which is exact on every path):
-        * returned scores are LOWER bounds of the true BM25 scores;
-          ``score_gap[i]`` bounds how much result i can be under-scored
-          (sum of caps of the terms whose head doesn't contain it);
+        * ``mode='or'``: returned scores are LOWER bounds of the true BM25
+          scores; ``score_gap[i]`` bounds how much result i can be
+          under-scored (sum of caps of the terms whose head doesn't
+          contain it);
+        * ``mode='and'``: candidates are docs present in EVERY query
+          term's head — salted sub-lists cover disjoint docs, so each
+          candidate's one posting per term is in the head and its returned
+          score is EXACT (score_gap all zero). What can be missed is a
+          true conjunctive match cut from >= 1 head; any such doc's score
+          is bounded by B = sum_t U_t - min_{t: cap_t>0} (U_t - cap_t)
+          with U_t = max(head max weight, cap_t) — it loses its best term
+          bound on whichever term it was cut from (the min makes B the
+          adversary's BEST case, i.e. a valid bound whichever term that
+          is). This is the MUST-clause analog of Lucene's WANDScorer
+          conjunctive pruning, done tier-side.
         * ``caps[term]`` = idf * impact(excl_max_tf, excl_min_dl) with
           QUERY-time stats — a valid bound for any avgdl because impact
           is monotone in (tf up, dl down), so appends can't break it;
         * ``set_exact`` is a certificate: True means the returned top-k
           SET provably equals the exact search() set (conservative — may
-          be False for sets that happen to be exact).
-        * OR-only: a conjunctive head miss can't be bounded (a doc cut
-          from one term's head would vanish from the intersection), so
-          AND stays on the exact tiers.
+          be False for sets that happen to be exact). For 'and', kth
+          returned score > B certifies (no cut doc can enter the top-k);
+          a query term with zero head rows has df = 0, so the exact
+          conjunction is empty and certified as such.
 
-        Raises if the tier is missing or stale (build_heads after append).
-        """
+        Raises if the tier is missing or stale (build_heads after build,
+        refresh_heads after append)."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         if not self._heads_fresh():
             raise ValueError(
                 "head tier missing or stale for this index — run "
-                "`index.py heads` (build_heads) after builds/appends"
+                "`index.py heads` (build_heads) after a build, or "
+                "`index.py heads --refresh` (refresh_heads, O(increment)) "
+                "after appends"
             )
         if k <= 0:  # mirror search(): empty result, never scores[-1] on []
             return QueryResult(
@@ -456,6 +474,54 @@ class QueryEngine:
             caps[term] = idf * float(bounds.max()) if len(parts) else 0.0
         t1 = time.time()
         total_cap = float(sum(caps.values()))
+        if mode == "and":
+            if len(raws) < len(uniq):
+                # a term with zero head rows has zero postings anywhere
+                # (every postings row yields a head row), so the exact
+                # conjunction is provably empty
+                return QueryResult(
+                    np.empty(0, np.uint64),
+                    np.empty(0, np.float64),
+                    lookup_sec=t1 - t0,
+                    approximate=True,
+                    caps=caps,
+                    set_exact=True,
+                    score_gap=np.empty(0, np.float64),
+                )
+            ids, scores = _and_score(
+                [self._sorted_postings(r) for r in raws], k
+            )
+            pos_caps = {t: c for t, c in caps.items() if c > 0.0}
+            if not pos_caps:
+                set_exact = True  # every head covers its full list
+            elif ids.size == k:
+                # a true conjunctive match cut from >= 1 head scores at
+                # most B: it loses (U_t - cap_t) on whichever cap>0 term
+                # cut it, and the min is the adversary's best case.
+                # Strict > so a tie can't flip membership on doc_id order.
+                ubs = {
+                    r.term: max(
+                        r.idf * float(r.impacts.max()), caps[r.term]
+                    )
+                    for r in raws
+                }
+                bound = sum(ubs.values()) - min(
+                    ubs[t] - c for t, c in pos_caps.items()
+                )
+                set_exact = float(scores[-1]) > bound
+            else:
+                set_exact = False  # cut docs could fill the empty slots
+            return QueryResult(
+                ids,
+                scores,
+                lookup_sec=t1 - t0,
+                score_sec=time.time() - t1,
+                approximate=True,
+                caps=caps,
+                set_exact=bool(set_exact),
+                # candidates sit in EVERY term's head -> scores are exact
+                score_gap=np.zeros(ids.size, dtype=np.float64),
+            )
         if not raws:
             return QueryResult(
                 np.empty(0, np.uint64),
@@ -498,6 +564,27 @@ class QueryEngine:
             set_exact=bool(set_exact),
             score_gap=gap,
         )
+
+    def search_bounded(
+        self, terms: list[str], mode: str = "or", k: int = 10
+    ) -> QueryResult:
+        """Exact results at head-tier latency WHEN THE CERTIFICATE ALLOWS:
+        serve from the head tier first and return its result iff
+        ``set_exact`` certifies the top-k set; otherwise fall back to the
+        exact engine (the ES/Lucene pattern: dynamic pruning when safe,
+        exhaustive when not). With no head tier (or a stale one) this is
+        plain exact search. NOTE the certified fast path's SCORES are exact
+        for 'and' (candidates sit in every head) but lower bounds for 'or'
+        — callers needing bit-exact OR scores should rescore or use
+        search(); the returned ``approximate`` flag says which path served.
+        """
+        try:
+            res = self.search_head(terms, k=k, mode=mode)
+        except ValueError:
+            return self.search(terms, mode=mode, k=k)
+        if res.set_exact:
+            return res
+        return self.search(terms, mode=mode, k=k)
 
     def search_df(
         self, terms: list[str], mode: str = "or", k: int = 10

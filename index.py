@@ -49,10 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--distributed", action="store_true")
     q.add_argument(
-        "--tier", choices=["full", "head"], default="full",
-        help="'head' serves OR queries from the impact-ordered head tier "
-        "(bounded latency, approximate — run `heads` first); output adds "
-        "set_exact/score_gap",
+        "--tier", choices=["full", "head", "bounded"], default="full",
+        help="'head' serves OR and AND queries from the impact-ordered "
+        "head tier (bounded latency, approximate — run `heads` first); "
+        "output adds set_exact/score_gap. 'bounded' serves from the head "
+        "tier only when its certificate proves the top-k set exact, "
+        "falling back to the exact engine otherwise",
     )
 
     h = sub.add_parser(
@@ -62,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         "bounded-latency approximate top-k on monster-df terms",
     )
     h.add_argument("--head-size", type=int, default=None)
+    h.add_argument(
+        "--refresh",
+        action="store_true",
+        help="incremental: derive heads only for postings segments added "
+        "since the tier was built (O(increment)); parameters stay pinned "
+        "from the original build",
+    )
 
     a = sub.add_parser("append", help="append an increment to the index")
     a.add_argument("--corpus", required=True)
@@ -170,12 +179,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.distributed:
             rows = qe.search_distributed(terms, args.mode, args.k).collect()
             out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
-        elif args.tier == "head":
-            if args.mode != "or":
-                print("--tier head serves OR queries only", file=sys.stderr)
-                spark.stop()
-                return 1
-            res = qe.search_head(terms, args.k)
+        elif args.tier in ("head", "bounded"):
+            if args.tier == "bounded":
+                res = qe.search_bounded(terms, args.mode, args.k)
+            else:
+                res = qe.search_head(terms, args.k, mode=args.mode)
             out = {
                 "results": res.to_pandas().to_dict("records"),
                 "approximate": res.approximate,
@@ -216,12 +224,19 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(sharded.finalize(spark, store, cfg), default=str))
     elif args.cmd == "heads":
-        from excelastic_spark.heads import DEFAULT_HEAD_SIZE, build_heads
-
-        path = build_heads(
-            spark, store, head_size=args.head_size or DEFAULT_HEAD_SIZE
+        from excelastic_spark.heads import (
+            DEFAULT_HEAD_SIZE,
+            build_heads,
+            refresh_heads,
         )
-        print(json.dumps({"heads": path}))
+
+        if args.refresh:
+            paths = refresh_heads(spark, store)
+        else:
+            paths = build_heads(
+                spark, store, head_size=args.head_size or DEFAULT_HEAD_SIZE
+            )
+        print(json.dumps({"heads": paths}))
     elif args.cmd == "merge":
         from excelastic_spark.streaming.incremental import IncrementalIndexer
 
