@@ -28,7 +28,10 @@ rank-identical to the pandas oracle in both docIDs and scores.
 
 from __future__ import annotations
 
+import os
+import threading
 import time
+from collections import OrderedDict
 from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import Any
@@ -164,19 +167,83 @@ class QueryResult:
 
 class QueryEngine:
     def __init__(
-        self, spark: SparkSession, store: IndexStore, cfg: EngineConfig | None = None
+        self,
+        spark: SparkSession,
+        store: IndexStore,
+        cfg: EngineConfig | None = None,
+        cache_mb: float = 256.0,
     ):
         self.spark = spark
         self.store = store
         # layout params (buckets, block size, salting) come from the config
         # persisted at build time; caller cfg supplies execution knobs
         self.cfg = EngineConfig.from_store(store, cfg)
-        st = store.read_table(spark, "stats").collect()[0]
-        self.n_docs = int(st["n_docs"])
-        self.avgdl = float(st["avgdl"])
-        self.k1 = float(st["k1"])
-        self.b = float(st["b"])
         self._bucket_cache: dict[str, int] = {}
+        # decoded-postings LRU (a head node's hot terms re-read + re-decode
+        # the same parquet rows on every query otherwise): term ->
+        # (RawPostings, decoded bytes), capped by total decoded bytes.
+        # RawPostings are treated as immutable everywhere (scorers build
+        # derived arrays, never write in place), so entries are shared
+        # safely across QueryExecutor worker threads.
+        self._cache_lock = threading.Lock()
+        self._cache_cap = int(cache_mb * (1 << 20))
+        self._raw_cache: OrderedDict[str, tuple[RawPostings, int]] = (
+            OrderedDict()
+        )
+        self._cache_bytes = 0
+        self._manifest_version: tuple[int, int] | None = None
+        self._check_version()  # loads stats + pins the snapshot version
+
+    # -------------------------------------------------- snapshot version ----
+
+    def _current_manifest_version(self) -> tuple[int, int] | None:
+        try:
+            st = os.stat(self.store.manifest_path)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _check_version(self) -> None:
+        """Cheap (one stat()) snapshot-consistency gate on every query
+        entry point: when the manifest changed (append/merge/rebuild in
+        this or another process), drop every manifest-derived cache —
+        pyarrow datasets, decoded postings — and reload collection stats,
+        so a long-lived engine serves post-append results instead of the
+        snapshot it was constructed against. Stats can't change without
+        the manifest changing (every append/build commits stats through
+        the same atomic swap), so version-keying the caches on the
+        manifest file is sufficient for bit-correct scores."""
+        v = self._current_manifest_version()
+        with self._cache_lock:
+            if v == self._manifest_version:
+                return
+            self._ads_cache = {}
+            self._raw_cache.clear()
+            self._cache_bytes = 0
+            st = self._read_stats_row()
+            self.n_docs = int(st["n_docs"])
+            self.avgdl = float(st["avgdl"])
+            self.k1 = float(st["k1"])
+            self.b = float(st["b"])
+            self._manifest_version = v
+
+    def _read_stats_row(self) -> dict:
+        """The single stats row, via a local pyarrow read when possible
+        (no Spark job on engine construction / snapshot refresh)."""
+        try:
+            import pyarrow.dataset as pads
+
+            loc = self.store.table_path("stats")
+            paths = loc if isinstance(loc, list) else [loc]
+            return pads.dataset(
+                paths, format="parquet"
+            ).to_table().to_pylist()[0]
+        except KeyError:
+            raise
+        except Exception:
+            return self.store.read_table(self.spark, "stats").collect()[
+                0
+            ].asDict()
 
     # ---------------------------------------------------------- lookup ----
 
@@ -273,20 +340,57 @@ class QueryEngine:
         streams concatenate losslessly, so all rows decode in THREE
         vectorized passes; the delta stream needs a per-row cumsum reset
         = subtract each segment's starting offset (one np.repeat), since
-        row lengths are stored in "n"."""
-        rows = self._fetch_posting_rows(uniq)
+        row lengths are stored in "n".
+
+        Decoded-postings LRU: hot terms skip fetch AND decode entirely on
+        repeat lookups; the cache is dropped wholesale whenever the
+        manifest changes (_check_version), which covers both new postings
+        segments and the stats (avgdl/n_docs) the cached impacts/idf were
+        computed with."""
+        self._check_version()
         out: dict[str, RawPostings] = {}
+        missing: list[str] = []
+        with self._cache_lock:
+            ver = self._manifest_version
+            for t in uniq:
+                hit = self._raw_cache.get(t)
+                if hit is not None:
+                    self._raw_cache.move_to_end(t)
+                    out[t] = hit[0]
+                else:
+                    missing.append(t)
+        if not missing:
+            return out
+        rows = self._fetch_posting_rows(missing)
+        fresh: dict[str, RawPostings] = {}
         for term, parts in _group_by_term(rows).items():
             ids, tfs, dls, presorted = _fused_decode(parts)
             idf = float(codec.bm25_idf(self.n_docs, int(ids.size)))
             impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
-            out[term] = RawPostings(
+            fresh[term] = RawPostings(
                 term=term,
                 doc_ids=ids,
                 impacts=impacts,
                 idf=idf,
                 presorted=presorted,
             )
+        out.update(fresh)
+        with self._cache_lock:
+            if self._manifest_version != ver:
+                # snapshot advanced mid-lookup (another thread observed a
+                # commit): this result is still internally consistent, but
+                # MUST NOT seed the new version's cache
+                return out
+            for t, raw in fresh.items():
+                nbytes = int(raw.doc_ids.nbytes + raw.impacts.nbytes)
+                old = self._raw_cache.pop(t, None)
+                if old is not None:
+                    self._cache_bytes -= old[1]
+                self._raw_cache[t] = (raw, nbytes)
+                self._cache_bytes += nbytes
+            while self._cache_bytes > self._cache_cap and self._raw_cache:
+                _, (_, nb) = self._raw_cache.popitem(last=False)
+                self._cache_bytes -= nb
         return out
 
     def _sorted_postings(self, raw: RawPostings) -> TermPostings:
@@ -438,6 +542,7 @@ class QueryEngine:
         refresh_heads after append)."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        self._check_version()
         if not self._heads_fresh():
             raise ValueError(
                 "head tier missing or stale for this index — run "
@@ -607,6 +712,7 @@ class QueryEngine:
 
         Scales with the candidate set: each (term, salt) posting row decodes
         independently in its executor; no driver collect of postings."""
+        self._check_version()
         uniq = sorted(set(terms))
         n_docs, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
         scan = self._postings_scan(uniq)
