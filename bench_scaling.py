@@ -332,8 +332,12 @@ def interleaved(fn, n: int, n_docs: int, reps: int):
 def section(title: str, desc: str, n: int, rn: dict, r4n: dict,
             paired: list[float] | None = None) -> str:
     eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4.0
+    reps = len(paired) if paired else 1
     lines = [
-        f"## {title}\n", desc + "\n",
+        f"## {title}\n",
+        f"Last run: {rn['n_docs']} docs, min of {reps} interleaved reps "
+        "per level.\n",
+        desc + "\n",
         "| parallelism | docs | build sec | docs/sec | query mean sec |",
         "|---|---|---|---|---|",
         f"| {n} cores (N) | {rn['n_docs']} | {rn['build_sec']} | "
@@ -380,16 +384,48 @@ def section(title: str, desc: str, n: int, rn: dict, r4n: dict,
 
 HEADER = """# BENCH/BASELINE — scaling efficiency (N vs 4N parallelism)
 
-Same deterministic synthetic corpus (Zipf-skewed code-like text, %(docs)d
-docs), corpus pre-materialized to parquet, min of %(reps)d INTERLEAVED reps
-per level (the host shows ~2x noise in multi-minute windows, so levels
-alternate N,4N,N,4N to sample the same windows; warehouse on tmpfs). Every
-JVM is warmed with an untimed mini-build (steady-state JIT), and every
-level is pinned with `taskset` to exactly its core budget. Evidences the
-north rule's N->4N executor criterion at two parallelism levels per
-BASELINE.md.
+Same deterministic synthetic corpus (Zipf-skewed code-like text),
+corpus pre-materialized to parquet, INTERLEAVED reps per level (the host
+shows ~2x noise in multi-minute windows, so levels alternate N,4N,N,4N to
+sample the same windows; warehouse on tmpfs). Every JVM is warmed with an
+untimed mini-build (steady-state JIT), and every level is pinned with
+`taskset` to exactly its core budget. Evidences the north rule's N->4N
+executor criterion at two parallelism levels per BASELINE.md.
 
+The mode sections between `bench_scaling:begin/end` markers are
+REGENERATED by bench_scaling.py on each run; everything outside the
+markers (narrative, attribution, run history) is preserved.
 """
+
+
+def write_report(sections: dict[str, str]) -> None:
+    """Swap ONLY this script's marked blocks inside BENCH/BASELINE.md,
+    preserving every narrative/attribution section around them (the r4
+    driver bench truncated 282 committed lines by rewriting the whole
+    file — VERDICT r4 'what's wrong' #3). A mode whose markers are absent
+    is appended at the end; a missing file gets the static header first."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    text = HEADER
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+    for mode, body in sections.items():
+        begin = f"<!-- bench_scaling:begin {mode} -->"
+        end = f"<!-- bench_scaling:end {mode} -->"
+        block = f"{begin}\n{body.rstrip()}\n{end}"
+        if begin in text and end in text and text.index(begin) < text.index(
+            end
+        ):
+            pre, rest = text.split(begin, 1)
+            _, post = rest.split(end, 1)
+            text = pre + block + post
+        else:
+            text = text.rstrip("\n") + "\n\n" + block + "\n"
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
 
 SHARDED_DESC = """The engine's executor-parallel layout (sharded.py): the
 corpus splits into doc-disjoint shards (id-bucket ranges); each shard is
@@ -420,30 +456,27 @@ def main() -> None:
     mode = sys.argv[4] if len(sys.argv) > 4 else "sharded"
     global RUNNER_CORES
     RUNNER_CORES = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    secs = []
+    secs: dict[str, str] = {}
     out: dict = {}
     if mode in ("sharded", "both"):
         rn, r4n, paired = interleaved(run_sharded, n, n_docs, reps)
-        secs.append(section(
+        secs["sharded"] = section(
             "Sharded executor-parallel build", SHARDED_DESC,
-            n, rn, r4n, paired))
+            n, rn, r4n, paired)
         out["sharded"] = {
-            "rN": rn, "r4N": r4n,
+            "rN": rn, "r4N": r4n, "paired": paired,
             "efficiency": round(r4n["docs_per_sec"] / rn["docs_per_sec"] / 4, 3),
         }
     if mode in ("shuffle", "both"):
         rn, r4n, paired = interleaved(run, n, n_docs, reps)
-        secs.append(section(
+        secs["shuffle"] = section(
             "Global-shuffle single-JVM build (headline)", SHUFFLE_DESC,
-            n, rn, r4n, paired))
+            n, rn, r4n, paired)
         out["shuffle"] = {
-            "rN": rn, "r4N": r4n,
+            "rN": rn, "r4N": r4n, "paired": paired,
             "efficiency": round(r4n["docs_per_sec"] / rn["docs_per_sec"] / 4, 3),
         }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(HEADER % {"docs": n_docs, "reps": reps})
-        f.write("\n".join(secs))
+    write_report(secs)
     print(json.dumps(out))
 
 
