@@ -94,19 +94,30 @@ def main() -> None:
                 stage_sec[rec["stage"]] = rec["sec"]
 
     qe = QueryEngine(spark, store, cfg)
-    for terms, mode, k in QUERIES:  # warm
+    for terms, mode, k in QUERIES:  # warm (OS page cache + arrow datasets)
         qe.search(terms, mode=mode, k=k)
-    lat = []
+    lat, lat_cached = [], []
     lookup_sec, score_sec = [], []
     for terms, mode, k in QUERIES:
+        # cold = decoded-postings LRU disabled (r5): the honest O(df)
+        # fetch+decode+score cost a first-touch query pays
+        cold_engine = QueryEngine(spark, store, cfg, cache_mb=0.0)
         times = []
         for _ in range(5):
             t0 = time.time()
-            res = qe.search(terms, mode=mode, k=k)
+            res = cold_engine.search(terms, mode=mode, k=k)
             times.append(time.time() - t0)
         lat.append(statistics.median(times))
         lookup_sec.append(res.lookup_sec)
         score_sec.append(res.score_sec)
+        # cached = repeat on the warm shared engine (LRU hit: no fetch,
+        # no decode — the steady-state hot-term cost)
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            qe.search(terms, mode=mode, k=k)
+            times.append(time.time() - t0)
+        lat_cached.append(statistics.median(times))
     # distributed path on the hottest query: the cluster alternative for
     # monster-df queries where even a fused driver decode is O(df)
     terms, mode, k = QUERIES[0]
@@ -121,20 +132,24 @@ def main() -> None:
     from excelastic_spark.heads import build_heads
 
     t0 = time.time()
-    build_heads(spark, store, cfg, head_size=4096)
+    build_heads(spark, store, head_size=4096)
     heads_build_sec = time.time() - t0
     qe2 = QueryEngine(spark, store, cfg)
     head_lat, head_recall, head_exact, head_gap = [], [], [], []
+    head_modes = []
     for terms, mode, k in QUERIES:
-        if mode != "or":
-            continue
-        exact_ids = set(int(d) for d in qe.search(terms, mode="or", k=k).doc_ids)
-        qe2.search_head(terms, k=k)  # warm
+        # r5: the head tier serves BOTH modes (AND candidates are exact-
+        # score docs present in every term's head; OR is lower-bounded)
+        exact_ids = set(
+            int(d) for d in qe.search(terms, mode=mode, k=k).doc_ids
+        )
+        qe2.search_head(terms, k=k, mode=mode)  # warm
         times = []
         for _ in range(5):
             t0 = time.time()
-            res = qe2.search_head(terms, k=k)
+            res = qe2.search_head(terms, k=k, mode=mode)
             times.append(time.time() - t0)
+        head_modes.append(mode)
         head_lat.append(round(1e3 * statistics.median(times), 2))
         got = set(int(d) for d in res.doc_ids)
         head_recall.append(
@@ -144,6 +159,42 @@ def main() -> None:
         head_gap.append(
             float(res.score_gap.max()) if res.score_gap.size else 0.0
         )
+    # bounded tier on the hottest AND query: certificate-gated fast path
+    # with honest fallback timing when the certificate refuses
+    and_terms, _, and_k = QUERIES[1]
+    qe2.search_bounded(and_terms, "and", and_k)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        bres = qe2.search_bounded(and_terms, "and", and_k)
+        times.append(time.time() - t0)
+    bounded_and = {
+        "p50_ms": round(1e3 * statistics.median(times), 1),
+        "served_by": "head" if bres.approximate else "exact_fallback",
+    }
+
+    # incremental head refresh at scale (r5): append ~1% then refresh —
+    # must cost O(increment), not the O(index) of the full build above
+    from pyspark.sql import functions as F
+
+    from excelastic_spark.heads import refresh_heads
+    from excelastic_spark.streaming.incremental import IncrementalIndexer
+
+    inc_docs = max(10_000, N_DOCS // 100)
+    inc_corpus = synthesize_corpus(
+        spark, inc_docs, partitions=8, seed=123
+    ).withColumn("path", F.concat(F.lit("inc/"), F.col("path")))
+    t0 = time.time()
+    IncrementalIndexer(spark, store, cfg).append_increment(inc_corpus)
+    append_sec = time.time() - t0
+    t0 = time.time()
+    new_heads = refresh_heads(spark, store)
+    heads_refresh_sec = time.time() - t0
+    assert len(new_heads) == 1, new_heads  # only the appended segment
+    qe3 = QueryEngine(spark, store, cfg)
+    t0 = time.time()
+    qe3.search_head(QUERIES[0][0], k=10)  # serves without a full rebuild
+    head_after_refresh_ms = round(1e3 * (time.time() - t0), 2)
 
     idx_bytes = sum(
         os.path.getsize(os.path.join(dp, fn))
@@ -159,13 +210,20 @@ def main() -> None:
         "build_sec": round(build_sec, 1),
         "stage_sec": stage_sec,
         "query_p50_ms": [round(1e3 * t, 2) for t in lat],
+        "query_p50_ms_lru_cached": [round(1e3 * t, 2) for t in lat_cached],
         "query_lookup_sec": [round(t, 3) for t in lookup_sec],
         "query_score_sec": [round(t, 3) for t in score_sec],
         "distributed_hot_query_p50_ms": round(
             1e3 * statistics.median(dist_times), 1
         ),
         "heads_build_sec": round(heads_build_sec, 1),
+        "head_query_modes": head_modes,
         "head_query_p50_ms": head_lat,
+        "bounded_and_hot": bounded_and,
+        "append_docs": inc_docs,
+        "append_sec": round(append_sec, 1),
+        "heads_refresh_sec": round(heads_refresh_sec, 1),
+        "head_query_after_refresh_ms": head_after_refresh_ms,
         "head_recall_at_k": head_recall,
         "head_set_exact": head_exact,
         "head_max_score_gap": head_gap,
