@@ -27,7 +27,10 @@ This engine serves the same journey with the stdlib only:
   websocket-less clients (returns events with seq > after).
 * ``GET /`` — status page with the template context the reference injects
   on every route: version, connectivity, locked index, supported files
-  (Website.java:60-76).
+  (Website.java:60-76). Connectivity is LIVE: a ``BackendMonitor`` polls
+  the Spark JVM + warehouse manifest every 5 s and broadcasts flips on an
+  ``es-status`` bus topic, the analog of the reference's ES version poll
+  (ElasticWriter.java:41,49,227-240; ES_STATUS at :24).
 * Config knobs (Configuration.java:35-38): ``web_port`` is the default
   serve port (9999); ``authentication``+``basic`` demand
   ``Authorization: Basic b64(user:pass)`` on the mutating upload route
@@ -145,6 +148,112 @@ class ProgressBus:
             return [
                 e for e in self._events.get(upload_id, []) if e["seq"] > after_seq
             ]
+
+
+# --------------------------------------------------------------------------
+# backend connectivity poll (ElasticWriter.java:41,49,227-240): the reference
+# polls elasticsearch every POLL=5000ms (ElasticWriter.java:29) for its
+# version string, tracks `connected`, and broadcasts flips on the ES_STATUS
+# event-bus topic. Here the backend is the in-process Spark JVM plus the
+# index warehouse, so the poll round-trips py4j (NOT the cached Python
+# version string — a stopped JVM must flip us to disconnected) and reads the
+# warehouse manifest's snapshot count as the storage version.
+
+
+class BackendMonitor:
+    """Periodic backend health/version probe.
+
+    ``probe()`` is one poll tick (pollElasticServer analog); ``start()``
+    runs it every ``poll_sec`` seconds on a daemon thread after one
+    synchronous tick (the reference calls ``pollElasticServer(0L)`` inline
+    at verticle start, ElasticWriter.java:49). Connectivity flips publish an
+    ``es-status`` event on the progress bus — the ES_STATUS broadcast
+    (ElasticWriter.java:230-238)."""
+
+    POLL_SEC = 5.0  # ElasticWriter.java:29 (POLL = 5000 ms)
+    STATUS_TOPIC = "es-status"  # ElasticWriter.java:24
+
+    def __init__(self, spark, cfg, bus: ProgressBus,
+                 poll_sec: float = POLL_SEC):
+        self.spark = spark
+        self.cfg = cfg
+        self.bus = bus
+        self.poll_sec = poll_sec
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._state: dict[str, Any] = {
+            "connected": False, "version": "", "manifestVersion": None,
+            "lastPoll": 0.0,
+        }
+
+    def probe(self) -> dict[str, Any]:
+        """One poll tick: JVM liveness + version, warehouse manifest
+        version. Returns (and stores) the new state; publishes an es-status
+        bus event when `connected` flips (ElasticWriter.java:230-238)."""
+        connected, version, manifest_version = False, "", None
+        try:
+            sc = self.spark.sparkContext
+            # a genuine py4j round trip — spark.version is a Python-side
+            # constant and would still "succeed" against a dead JVM
+            if sc._jsc is None or sc._jsc.sc().isStopped():
+                raise RuntimeError("spark context stopped")
+            version = f"spark-{self.spark.version}"
+            connected = True
+        except Exception:
+            connected = False
+        if connected:
+            # storage-backend half: an EXISTING manifest that cannot be
+            # read means the warehouse is unhealthy; no index yet is fine
+            # (the reference reports connected against an empty ES too)
+            mpath = os.path.join(
+                self.cfg.warehouse, self.cfg.resolve_index_name(None),
+                "manifest.json",
+            )
+            try:
+                if os.path.exists(mpath):
+                    with open(mpath, "r", encoding="utf-8") as f:
+                        manifest = json.load(f)
+                    manifest_version = len(manifest.get("snapshots", []))
+            except Exception:
+                connected = False
+        with self._lock:
+            was = self._state["connected"]
+            self._state = {
+                "connected": connected, "version": version,
+                "manifestVersion": manifest_version, "lastPoll": time.time(),
+            }
+        if connected != was:
+            self.bus.publish(
+                self.STATUS_TOPIC,
+                "connected" if connected else "disconnected",
+                100.0 if connected else 0.0,
+                version=version,
+            )
+        return self.status()
+
+    def status(self) -> dict[str, Any]:
+        with self._lock:
+            return dict(self._state)
+
+    def start(self) -> threading.Thread:
+        """Synchronous first tick, then the periodic daemon thread
+        (ElasticWriter.java:41,49). Idempotent."""
+        self.probe()
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = threading.Thread(
+                target=self._loop, daemon=True, name="backend-monitor"
+            )
+            self._thread.start()
+        return self._thread
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.poll_sec):
+            self.probe()
+
+    def stop(self) -> None:
+        self._stop.set()
 
 
 # --------------------------------------------------------------------------
@@ -684,6 +793,11 @@ class UploadServer(ThreadingHTTPServer):
         self.bus = ProgressBus()
         self.service = UploadService(spark, self.cfg, self.bus)
         self.max_upload_bytes = max_upload_bytes
+        # connectivity poll (A17): one synchronous tick now so the status
+        # page is truthful before the periodic thread spins up
+        # (pollElasticServer(0L) at start, ElasticWriter.java:49)
+        self.monitor = BackendMonitor(spark, self.cfg, self.bus)
+        self.monitor.probe()
         super().__init__((host, port), _Handler)
         if self.cfg.tls_cert and self.cfg.tls_key:
             # TLS terminates at the head (config.py: the elastic_tls analog)
@@ -702,10 +816,14 @@ class UploadServer(ThreadingHTTPServer):
         return f"Basic {tok}"
 
     def template_context(self) -> dict[str, Any]:
-        """The view model injected on every route (Website.java:60-76)."""
+        """The view model injected on every route (Website.java:60-76).
+        `connected`/`backend` come from the live BackendMonitor probe, the
+        ES-version-poll analog (ElasticWriter.java:227-240)."""
+        backend = self.monitor.status()
         return {
             "version": VERSION,
-            "connected": True,  # the engine is in-process (no remote ES)
+            "connected": backend["connected"],
+            "backend": backend,
             "indexLocked": self.cfg.index_lock,
             "index": self.cfg.resolve_index_name(None),
             "supportedFiles": ", ".join(SUPPORTED_EXTENSIONS),
@@ -716,15 +834,21 @@ class UploadServer(ThreadingHTTPServer):
         return self.server_address[1]
 
     def start_background(self) -> threading.Thread:
+        self.monitor.start()
         t = threading.Thread(target=self.serve_forever, daemon=True)
         t.start()
         return t
+
+    def shutdown(self) -> None:
+        self.monitor.stop()
+        super().shutdown()
 
 
 def serve(spark, cfg=None, host: str = "127.0.0.1", port: int = 9999,
           max_upload_bytes: int = 256 << 20):
     """Blocking entry: `python index.py serve` uses this."""
     srv = UploadServer(spark, cfg, host, port, max_upload_bytes)
+    srv.monitor.start()  # periodic backend poll (ElasticWriter.java:41)
     # scheme must match the socket: UploadServer wraps it in TLS when both
     # cert and key are configured, and printing http:// there misleads
     # operators into connecting with the wrong scheme

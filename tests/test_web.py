@@ -615,3 +615,104 @@ def test_done_view_escapes_client_controlled_markup(server):
     conn.close()
     assert "<script>" not in html
     assert "&lt;script&gt;" in html
+
+
+# --------------------------------------------------------------------------
+# backend connectivity poll (A17 analog; ElasticWriter.java:41,49,227-240)
+
+
+def test_backend_monitor_status_route(server):
+    """/api/status reports the LIVE probe: JVM version + manifest version
+    (the reference's ES version poll, ElasticWriter.java:227-240)."""
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("GET", "/api/status")
+    st = json.loads(conn.getresponse().read())
+    conn.close()
+    assert st["connected"] is True
+    assert st["backend"]["version"].startswith("spark-")
+    # earlier upload tests committed snapshots to the web warehouse's
+    # default index, so the storage version is a positive snapshot count
+    assert st["backend"]["manifestVersion"] is None or (
+        st["backend"]["manifestVersion"] >= 0
+    )
+    assert st["backend"]["lastPoll"] > 0
+
+
+def test_backend_monitor_flip_publishes_es_status(spark, tmp_path):
+    """Connectivity flips broadcast on the bus exactly like the ES_STATUS
+    event-bus topic (ElasticWriter.java:230-238): first successful probe
+    publishes `connected`, a dead backend publishes `disconnected`, and
+    steady state publishes nothing."""
+    from excelastic_spark.web import BackendMonitor, ProgressBus
+
+    cfg = EngineConfig(warehouse=str(tmp_path / "wh"))
+    bus = ProgressBus()
+    mon = BackendMonitor(spark, cfg, bus)
+
+    st = mon.probe()  # initial disconnected -> connected flip
+    assert st["connected"] is True and st["version"].startswith("spark-")
+    assert st["manifestVersion"] is None  # no index built yet
+    mon.probe()  # steady state: no new event
+    evs = bus.since(BackendMonitor.STATUS_TOPIC, 0)
+    assert [e["action"] for e in evs] == ["connected"]
+
+    class _DeadSpark:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("jvm gone")
+
+    mon.spark = _DeadSpark()
+    st = mon.probe()
+    assert st["connected"] is False and st["version"] == ""
+    mon.spark = spark
+    st = mon.probe()
+    assert st["connected"] is True
+    evs = bus.since(BackendMonitor.STATUS_TOPIC, 0)
+    assert [e["action"] for e in evs] == [
+        "connected", "disconnected", "connected"
+    ]
+
+
+def test_backend_monitor_reads_manifest_version(spark, tmp_path):
+    """The storage half of the probe: snapshot count from the committed
+    manifest, and an unreadable EXISTING manifest flips to disconnected."""
+    from excelastic_spark.catalog import IndexStore
+    from excelastic_spark.web import BackendMonitor, ProgressBus
+
+    wh = str(tmp_path / "wh")
+    cfg = EngineConfig(warehouse=wh)
+    name = cfg.resolve_index_name(None)
+    store = IndexStore(wh, name)
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    store.write_table(df, "t1")
+
+    mon = BackendMonitor(spark, cfg, ProgressBus())
+    st = mon.probe()
+    assert st["connected"] is True and st["manifestVersion"] == 1
+    store.write_table(df, "t2")
+    assert mon.probe()["manifestVersion"] == 2
+
+    with open(store.manifest_path, "w", encoding="utf-8") as f:
+        f.write("{corrupt")  # existing-but-unreadable manifest
+    assert mon.probe()["connected"] is False
+
+
+def test_backend_monitor_periodic_thread(spark, tmp_path):
+    """start() ticks synchronously then keeps polling on the daemon thread
+    (vertx.setPeriodic(POLL, ...), ElasticWriter.java:41); stop() halts it."""
+    import time as _time
+
+    from excelastic_spark.web import BackendMonitor, ProgressBus
+
+    cfg = EngineConfig(warehouse=str(tmp_path / "wh"))
+    mon = BackendMonitor(spark, cfg, ProgressBus(), poll_sec=0.05)
+    t = mon.start()
+    first = mon.status()["lastPoll"]
+    assert first > 0  # synchronous first tick
+    deadline = _time.time() + 5
+    while mon.status()["lastPoll"] == first and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert mon.status()["lastPoll"] > first  # periodic tick happened
+    mon.stop()
+    t.join(timeout=5)
+    assert not t.is_alive()
