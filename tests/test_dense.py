@@ -113,3 +113,14 @@ def test_forced_dense_and_over_255_terms_counter_widens():
     ids, scores = _dense_topk(raws, k=10, conjunctive=True)
     assert set(int(d) for d in ids) == {0, 1}
     assert np.allclose(scores, 0.5 * n_terms)
+
+
+def test_and_candidate_beyond_big_list_tail():
+    """Galloping intersection clamp: a rare-term doc_id GREATER than every
+    doc in the big list makes searchsorted return n; the clamped compare
+    must exclude it (and include the genuine matches)."""
+    _, rare = make_pair("a", [5, 900], [1.0, 1.0], 1.0)
+    _, big = make_pair("b", [1, 5, 7, 11], [1.0, 1.0, 1.0, 1.0], 1.0)
+    ids, scores = _and_score([rare, big], 10)
+    assert list(ids) == [5]
+    assert list(scores) == [2.0]

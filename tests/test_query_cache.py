@@ -93,3 +93,37 @@ def test_append_invalidates_cache_and_refreshes_stats(built):
         np.array_equal(pre.doc_ids, post.doc_ids)
         and np.array_equal(pre.scores, post.scores)
     )
+
+
+def test_sorted_memo_reused_and_bit_identical(built):
+    """_sorted_postings memoizes the salt-merged TermPostings on the
+    cached RawPostings: the second sorted-path query must reuse the SAME
+    object (no re-argsort) and the memo must be charged to the LRU byte
+    budget; forced sorted-path results stay bit-identical to a fresh
+    engine's."""
+    spark, store, cfg = built
+    qe = QueryEngine(spark, store, cfg)
+    terms = ["def", "class", "self"]
+    a = qe.search(terms, "and", k=10, algo="exhaustive")  # sorted path
+    memos = {
+        t: qe._raw_cache[t][0].sorted_tp
+        for t in terms
+        if t in qe._raw_cache
+    }
+    assert memos and all(tp is not None for tp in memos.values())
+    bytes_after_memo = qe._cache_bytes
+    b = qe.search(terms, "and", k=10, algo="exhaustive")
+    for t, tp in memos.items():
+        assert qe._raw_cache[t][0].sorted_tp is tp  # reused, not rebuilt
+    assert qe._cache_bytes == bytes_after_memo  # charged exactly once
+    fresh = QueryEngine(spark, store, cfg).search(
+        terms, "and", k=10, algo="exhaustive"
+    )
+    assert np.array_equal(a.doc_ids, b.doc_ids)
+    assert np.array_equal(a.scores, b.scores)
+    assert np.array_equal(a.doc_ids, fresh.doc_ids)
+    assert np.array_equal(a.scores, fresh.scores)
+    # the memo participates in accounting: entries charge > raw arrays
+    for t in memos:
+        raw, nb = qe._raw_cache[t]
+        assert nb > int(raw.doc_ids.nbytes + raw.impacts.nbytes)
