@@ -77,13 +77,14 @@ def _rerank_e6(spark: SparkSession, pdf: pd.DataFrame, k: int) -> DataFrame:
     return spark.createDataFrame(pdf[["doc_id", "score_e6"]], schema=_BM25_RESULT)
 
 
-def _bm25(terms: list[str], mode: str, k: int, distributed: bool = False):
+def _bm25(terms: list[str], mode: str, k: int, distributed: bool = False,
+          algo: str = "auto"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe = _engine_for(spark, sf_dir)
         if distributed:
             pdf = qe.search_distributed(terms, mode=mode, k=k + 100).toPandas()
         else:
-            pdf = qe.search(terms, mode=mode, k=k + 100).to_pandas()
+            pdf = qe.search(terms, mode=mode, k=k + 100, algo=algo).to_pandas()
         return _rerank_e6(spark, pdf, k)
 
     return run
@@ -817,6 +818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_distributed": _bm25(["table", "query"], "or", 10, distributed=True),
         "bm25_head_or": _bm25_head(["batch", "scan", "join"], 10),
         "bm25_head_and": _bm25_head(["customer", "window", "sort"], 10, "and"),
+        # forced sorted scorers (the >64M-doc-span regime where the dense
+        # path is ineligible): adaptive galloping/merge intersection and
+        # exhaustive union, oracle-checked end-to-end (r5)
+        "bm25_and_sorted": _bm25(["table", "query"], "and", 10,
+                                 algo="exhaustive"),
+        "bm25_or_sorted": _bm25(["scan", "value", "stream"], "or", 15,
+                                algo="exhaustive"),
         # --- training-data pipeline operators ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -905,6 +913,8 @@ FROM toks JOIN documents USING (doc_id)
         "bm25_or_distributed": _bm25_sql(["table", "query"], "or", 10),
         "bm25_head_or": _bm25_sql(["batch", "scan", "join"], "or", 10),
         "bm25_head_and": _bm25_sql(["customer", "window", "sort"], "and", 10),
+        "bm25_and_sorted": _bm25_sql(["table", "query"], "and", 10),
+        "bm25_or_sorted": _bm25_sql(["scan", "value", "stream"], "or", 15),
         "token_count": f"""
 {tok_cte}
 SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
