@@ -37,6 +37,11 @@ SYNTH_QUERY_SET = [
     ("s_and_hot", ["def", "class", "self"], "and", 10),
     ("s_or_rare", ["import", "sym0100", "uniq42"], "or", 10),
     ("s_or_wide", ["while", "for", "if", "else"], "or", 25),
+    # forced sorted scorers (r5): the >64M-doc-span regime where the
+    # dense path is ineligible — adaptive galloping/merge intersection
+    # and exhaustive union, with the memoized salt-merge
+    ("s_and_sorted", ["def", "class", "self"], "and", 10, "exhaustive"),
+    ("s_or_sorted", ["while", "for", "if", "else"], "or", 25, "exhaustive"),
 ]
 
 
@@ -95,12 +100,13 @@ def main() -> None:
     qe = QueryEngine(spark, store, cfg)
     qe2 = QueryEngine(spark, store2, synth_cfg)
     lat_all = []
-    for name, terms, mode, k in QUERY_SET + SYNTH_QUERY_SET:
+    for name, terms, mode, k, *rest in QUERY_SET + SYNTH_QUERY_SET:
+        algo = rest[0] if rest else "auto"
         eng = qe if name.startswith("q_") else qe2
         times = []
         for _ in range(QUERY_REPS):
             t0 = time.time()
-            eng.search(terms, mode=mode, k=k)
+            eng.search(terms, mode=mode, k=k, algo=algo)
             times.append(time.time() - t0)
         p50 = statistics.median(times)
         queries[name] = round(p50, 4)
