@@ -943,5 +943,14 @@ def _and_score(
     for p in sorted(postings, key=lambda p: p.term):  # lex fold order
         pos = np.searchsorted(p.doc_ids, common)
         scores += p.weights[pos]
+    if common.size > k:
+        # O(n) partition to the k-th score (ties kept), then lexsort only
+        # the boundary set — a full lexsort of ~1M survivors for k=10
+        # owned half the sorted-path AND time; tie semantics identical
+        # (same pattern as _dense_topk)
+        neg = -scores
+        kth = np.partition(neg, k - 1)[k - 1]
+        sel = neg <= kth
+        common, scores = common[sel], scores[sel]
     order = np.lexsort((common, -scores))[:k]
     return common[order], scores[order]

@@ -181,5 +181,12 @@ def exhaustive_or(
     for p in lists:  # lex order fold, matching wand_topk/oracle
         pos = np.searchsorted(all_ids, p.doc_ids)
         scores[pos] += p.weights
+    if all_ids.size > k:
+        # partition to the k-th score (ties kept) before the lexsort —
+        # same O(n) selection and tie semantics as _dense_topk/_and_score
+        neg = -scores
+        kth = np.partition(neg, k - 1)[k - 1]
+        sel = neg <= kth
+        all_ids, scores = all_ids[sel], scores[sel]
     order = np.lexsort((all_ids, -scores))[:k]
     return all_ids[order], scores[order]
