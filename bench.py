@@ -157,8 +157,12 @@ def main() -> None:
         return s
 
     _tps = qe2.lookup(["import", "return"])
+    # NB dict.get would evaluate the default EAGERLY — exact_score_of is a
+    # per-term postings binary search, so only run it for docs outside the
+    # wide exact top-2000
     head_regret = max(
-        max(0.0, kth - escore.get(d, exact_score_of(d))) for d in head_ids
+        max(0.0, kth - (escore[d] if d in escore else exact_score_of(d)))
+        for d in head_ids
     ) / kth if head_ids else 0.0
 
     total = queries["build_docs_table"] + queries["build_synth"] + sum(lat_all)

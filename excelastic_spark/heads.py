@@ -164,6 +164,39 @@ def _postings_paths(store: IndexStore) -> list[str]:
     return loc if isinstance(loc, list) else [loc]
 
 
+def _commit_heads(
+    store: IndexStore,
+    postings_paths: list[str],
+    heads_paths: list[str],
+    head_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> None:
+    """One commit shape for BOTH build_heads and refresh_heads: tier table
+    snapshots + the pinned selection parameters + the postings-snapshot ->
+    heads-snapshot mapping, in a single atomic manifest swap. Shared so the
+    incremental path can never commit a different manifest shape than a
+    full build — the 'bit-equal by construction' contract depends on it."""
+    writes = [
+        ("heads", hp, "overwrite" if i == 0 else "append")
+        for i, hp in enumerate(heads_paths)
+    ]
+    store.commit_snapshot(
+        writes,
+        stages={
+            "heads": {
+                "head_size": int(head_size),
+                "avgdl_ref": float(avgdl),
+                "k1": float(k1),
+                "b": float(b),
+                "postings": list(postings_paths),
+                "segments": dict(zip(postings_paths, heads_paths)),
+            }
+        },
+    )
+
+
 def build_heads(
     spark: SparkSession,
     store: IndexStore,
@@ -184,27 +217,14 @@ def build_heads(
     avgdl = float(avgdl_ref) if avgdl_ref is not None else float(st["avgdl"])
     k1, b = float(st["k1"]), float(st["b"])
     seg_paths = _postings_paths(store)
-    writes: list[tuple[str, str, str]] = []
-    segments: dict[str, str] = {}
-    for i, p in enumerate(seg_paths):
+    heads_paths: list[str] = []
+    for p in seg_paths:
         heads = _derive_segment_heads(spark, p, head_size, avgdl, k1, b)
-        hp = store.stage_table(heads, "heads", partition_by=["bucket"])
-        writes.append(("heads", hp, "overwrite" if i == 0 else "append"))
-        segments[p] = hp
-    store.commit_snapshot(
-        writes,
-        stages={
-            "heads": {
-                "head_size": int(head_size),
-                "avgdl_ref": avgdl,
-                "k1": k1,
-                "b": b,
-                "postings": seg_paths,
-                "segments": segments,
-            }
-        },
-    )
-    return [w[1] for w in writes]
+        heads_paths.append(
+            store.stage_table(heads, "heads", partition_by=["bucket"])
+        )
+    _commit_heads(store, seg_paths, heads_paths, head_size, avgdl, k1, b)
+    return heads_paths
 
 
 def refresh_heads(spark: SparkSession, store: IndexStore) -> list[str]:
@@ -238,21 +258,5 @@ def refresh_heads(spark: SparkSession, store: IndexStore) -> list[str]:
             hp = store.stage_table(heads, "heads", partition_by=["bucket"])
             desired.append(hp)
             new_paths.append(hp)
-    writes = [
-        ("heads", hp, "overwrite" if i == 0 else "append")
-        for i, hp in enumerate(desired)
-    ]
-    store.commit_snapshot(
-        writes,
-        stages={
-            "heads": {
-                "head_size": head_size,
-                "avgdl_ref": avgdl,
-                "k1": k1,
-                "b": b,
-                "postings": cur,
-                "segments": dict(zip(cur, desired)),
-            }
-        },
-    )
+    _commit_heads(store, cur, desired, head_size, avgdl, k1, b)
     return new_paths

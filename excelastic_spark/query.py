@@ -51,7 +51,13 @@ from pyspark.sql.types import (
 from excelastic_spark import codec
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
-from excelastic_spark.wand import TermPostings, WandStats, exhaustive_or, wand_topk
+from excelastic_spark.wand import (
+    TermPostings,
+    WandStats,
+    exhaustive_or,
+    topk_by_score,
+    wand_topk,
+)
 from excelastic_spark.xxh import term_bucket
 
 # Cost model for the disjunctive path. Exhaustive scoring is one vectorized
@@ -74,6 +80,8 @@ WAND_DOMINANT_FRACTION = 0.05
 # accumulator fits head-node memory.
 DENSE_MAX_SPAN = 64_000_000  # 512 MB float64 accumulator ceiling
 DENSE_MIN_FILL = 8  # use dense when total postings >= span/8
+
+_UNSET = object()  # initial manifest-version sentinel (never == a stat value)
 
 
 def _wand_promising(
@@ -139,12 +147,13 @@ class RawPostings:
     presorted: bool  # True when a single salted row (already ascending)
     # memoized salt-merged form: a hot cached term must not pay the
     # O(df log df) argsort on EVERY sorted-path query (WAND / galloping
-    # AND / exhaustive union). Written once by _sorted_postings via a
-    # single attribute assignment — a concurrent query either sees None
-    # (recomputes an identical value) or the complete TermPostings, never
-    # a torn (ids, weights) pair; safe under the manifest-version-keyed
-    # cache because impacts/idf (and thus block bounds) are fixed for the
-    # lifetime of a cache generation.
+    # AND / exhaustive union). Written exactly once by _sorted_postings
+    # under the engine's cache lock (losers of the build race return the
+    # winner's value and charge nothing to the LRU budget); lock-free
+    # readers see None (take the slow path) or the complete TermPostings,
+    # never a torn (ids, weights) pair; safe under the manifest-version-
+    # keyed cache because impacts/idf (and thus block bounds) are fixed
+    # for the lifetime of a cache generation.
     sorted_tp: "TermPostings | None" = None
 
     @property
@@ -200,7 +209,11 @@ class QueryEngine:
             OrderedDict()
         )
         self._cache_bytes = 0
-        self._manifest_version: tuple[int, int] | None = None
+        # distinct unset sentinel: _current_manifest_version() returns None
+        # for a MISSING manifest, and None == None would skip the initial
+        # stats load (leaving n_docs/avgdl unset -> AttributeError later
+        # instead of the clear "table 'stats' not committed" error)
+        self._manifest_version: Any = _UNSET
         self._check_version()  # loads stats + pins the snapshot version
 
     # -------------------------------------------------- snapshot version ----
@@ -235,6 +248,13 @@ class QueryEngine:
             self.k1 = float(st["k1"])
             self.b = float(st["b"])
             self._manifest_version = v
+
+    def _stats_snapshot(self) -> tuple[int, float, float, float]:
+        """(n_docs, avgdl, k1, b) read atomically — callers must not read
+        the four fields one-by-one outside the lock, or a concurrent
+        _check_version swap can hand them a torn mix of two snapshots."""
+        with self._cache_lock:
+            return self.n_docs, self.avgdl, self.k1, self.b
 
     def _read_stats_row(self) -> dict:
         """The single stats row, via a local pyarrow read when possible
@@ -360,7 +380,12 @@ class QueryEngine:
         out: dict[str, RawPostings] = {}
         missing: list[str] = []
         with self._cache_lock:
+            # snapshot version AND stats together: reading self.n_docs etc.
+            # outside the lock could mix one version's cached postings with
+            # another version's stats mid-swap (torn read across the four
+            # one-by-one field assignments in _check_version)
             ver = self._manifest_version
+            n_docs, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
             for t in uniq:
                 hit = self._raw_cache.get(t)
                 if hit is not None:
@@ -374,8 +399,8 @@ class QueryEngine:
         fresh: dict[str, RawPostings] = {}
         for term, parts in _group_by_term(rows).items():
             ids, tfs, dls, presorted = _fused_decode(parts)
-            idf = float(codec.bm25_idf(self.n_docs, int(ids.size)))
-            impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
+            idf = float(codec.bm25_idf(n_docs, int(ids.size)))
+            impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
             fresh[term] = RawPostings(
                 term=term,
                 doc_ids=ids,
@@ -386,21 +411,31 @@ class QueryEngine:
         out.update(fresh)
         with self._cache_lock:
             if self._manifest_version != ver:
-                # snapshot advanced mid-lookup (another thread observed a
-                # commit): this result is still internally consistent, but
-                # MUST NOT seed the new version's cache
-                return out
-            for t, raw in fresh.items():
-                nbytes = int(raw.doc_ids.nbytes + raw.impacts.nbytes)
-                old = self._raw_cache.pop(t, None)
-                if old is not None:
-                    self._cache_bytes -= old[1]
-                self._raw_cache[t] = (raw, nbytes)
-                self._cache_bytes += nbytes
-            while self._cache_bytes > self._cache_cap and self._raw_cache:
-                _, (_, nb) = self._raw_cache.popitem(last=False)
-                self._cache_bytes -= nb
+                stale = True
+            else:
+                stale = False
+                self._seed_cache(fresh)
+        if stale:
+            # snapshot advanced mid-lookup (another thread observed a
+            # commit): the fetched rows may belong to the NEW snapshot
+            # while out's cache hits + the stats above are the OLD one —
+            # discard and redo the lookup against the new version (commits
+            # are rare: appends/merges, never per-query)
+            return self._lookup_raw(uniq)
         return out
+
+    def _seed_cache(self, fresh: dict[str, RawPostings]) -> None:
+        """Insert freshly decoded terms into the LRU (cache lock held)."""
+        for t, raw in fresh.items():
+            nbytes = int(raw.doc_ids.nbytes + raw.impacts.nbytes)
+            old = self._raw_cache.pop(t, None)
+            if old is not None:
+                self._cache_bytes -= old[1]
+            self._raw_cache[t] = (raw, nbytes)
+            self._cache_bytes += nbytes
+        while self._cache_bytes > self._cache_cap and self._raw_cache:
+            _, (_, nb) = self._raw_cache.popitem(last=False)
+            self._cache_bytes -= nb
 
     def _sorted_postings(self, raw: RawPostings) -> TermPostings:
         """Salt-merge (concat + stable sort) + block metadata: the
@@ -433,8 +468,14 @@ class QueryEngine:
             block_last=blk_last,
             block_ub=blk_imp * raw.idf,
         )
-        raw.sorted_tp = tp  # single assignment: complete or absent
         with self._cache_lock:
+            if raw.sorted_tp is not None:
+                # lost the memo race to a concurrent worker: return its
+                # (identical) TermPostings and charge NOTHING — charging
+                # twice would permanently inflate the entry's recorded
+                # size and shrink effective cache capacity
+                return raw.sorted_tp
+            raw.sorted_tp = tp  # single assignment: complete or absent
             ent = self._raw_cache.get(raw.term)
             if ent is not None and ent[0] is raw:
                 # the memo roughly doubles this entry's footprint — charge
@@ -587,6 +628,13 @@ class QueryEngine:
             )
         t0 = time.time()
         uniq = sorted(set(terms))
+        if not uniq:  # mirror search([]): exact result is empty, certified
+            return QueryResult(
+                np.empty(0, np.uint64), np.empty(0, np.float64),
+                approximate=True, caps={}, set_exact=True,
+                score_gap=np.empty(0, np.float64),
+            )
+        n_docs, avgdl, k1, b = self._stats_snapshot()
         rows = self._fetch_rows("heads", uniq)
         # true df per term (the terms table, NOT the truncated head length)
         # so idf — and therefore every returned score bit — matches search()
@@ -598,12 +646,12 @@ class QueryEngine:
         caps: dict[str, float] = {}
         for term, parts in _group_by_term(rows).items():
             ids, tfs, dls, presorted = _fused_decode(parts)
-            idf = float(codec.bm25_idf(self.n_docs, dfs[term]))
-            impacts = codec.bm25_impact(tfs, dls, self.avgdl, self.k1, self.b)
+            idf = float(codec.bm25_idf(n_docs, dfs[term]))
+            impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
             raws.append(RawPostings(term, ids, impacts, idf, presorted))
             etf = np.array([int(r["excl_max_tf"]) for r in parts], np.float64)
             edl = np.array([int(r["excl_min_dl"]) for r in parts], np.float64)
-            bounds = codec.bm25_impact(etf, edl, self.avgdl, self.k1, self.b)
+            bounds = codec.bm25_impact(etf, edl, avgdl, k1, b)
             bounds[etf == 0] = 0.0
             caps[term] = idf * float(bounds.max()) if len(parts) else 0.0
         t1 = time.time()
@@ -743,7 +791,7 @@ class QueryEngine:
         independently in its executor; no driver collect of postings."""
         self._check_version()
         uniq = sorted(set(terms))
-        n_docs, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
+        n_docs, avgdl, k1, b = self._stats_snapshot()
         scan = self._postings_scan(uniq)
 
         decode_schema = StructType(
@@ -898,17 +946,8 @@ def _dense_topk(
         matched = np.flatnonzero(acc > 0.0)
     if matched.size == 0:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
-    scores = acc[matched]
-    if matched.size > k:
-        # keep every score tied with the k-th (descending), then let the
-        # (score DESC, doc_id ASC) lexsort settle the boundary — identical
-        # tie semantics to exhaustive_or/_and_score
-        neg = -scores
-        kth = np.partition(neg, k - 1)[k - 1]
-        sel = neg <= kth
-        matched, scores = matched[sel], scores[sel]
-    order = np.lexsort((matched, -scores))[:k]
-    return matched[order].astype(np.uint64), scores[order]
+    ids, scores = topk_by_score(matched, acc[matched], k)
+    return ids.astype(np.uint64), scores
 
 
 def _and_score(
@@ -943,14 +982,4 @@ def _and_score(
     for p in sorted(postings, key=lambda p: p.term):  # lex fold order
         pos = np.searchsorted(p.doc_ids, common)
         scores += p.weights[pos]
-    if common.size > k:
-        # O(n) partition to the k-th score (ties kept), then lexsort only
-        # the boundary set — a full lexsort of ~1M survivors for k=10
-        # owned half the sorted-path AND time; tie semantics identical
-        # (same pattern as _dense_topk)
-        neg = -scores
-        kth = np.partition(neg, k - 1)[k - 1]
-        sel = neg <= kth
-        common, scores = common[sel], scores[sel]
-    order = np.lexsort((common, -scores))[:k]
-    return common[order], scores[order]
+    return topk_by_score(common, scores, k)

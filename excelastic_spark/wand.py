@@ -168,6 +168,24 @@ def wand_topk(
     return ids, scores, stats
 
 
+def topk_by_score(
+    ids: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared top-k selection for every vectorized scorer (exhaustive_or,
+    _and_score, _dense_topk): O(n) partition to the k-th score keeping
+    ties, then a lexsort of only the boundary set settles (score DESC,
+    doc_id ASC) — a full lexsort of ~1M survivors for k=10 owned half the
+    sorted-path AND time. One definition so tie semantics can't diverge
+    between scorers."""
+    if ids.size > k:
+        neg = -scores
+        kth = np.partition(neg, k - 1)[k - 1]
+        sel = neg <= kth
+        ids, scores = ids[sel], scores[sel]
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order]
+
+
 def exhaustive_or(
     postings: list[TermPostings], k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -181,12 +199,4 @@ def exhaustive_or(
     for p in lists:  # lex order fold, matching wand_topk/oracle
         pos = np.searchsorted(all_ids, p.doc_ids)
         scores[pos] += p.weights
-    if all_ids.size > k:
-        # partition to the k-th score (ties kept) before the lexsort —
-        # same O(n) selection and tie semantics as _dense_topk/_and_score
-        neg = -scores
-        kth = np.partition(neg, k - 1)[k - 1]
-        sel = neg <= kth
-        all_ids, scores = all_ids[sel], scores[sel]
-    order = np.lexsort((all_ids, -scores))[:k]
-    return all_ids[order], scores[order]
+    return topk_by_score(all_ids, scores, k)

@@ -592,9 +592,13 @@ class _Handler(BaseHTTPRequestHandler):
             return True
         # constant-time compare: == short-circuits on the first differing
         # byte and leaks credential prefix length via timing on a
-        # non-loopback bind
+        # non-loopback bind. Compare as BYTES: http.server decodes headers
+        # as latin-1, and compare_digest(str, str) raises on non-ASCII —
+        # a scanner sending 'Basic caf\xe9' must get a 401, not a dropped
+        # connection.
         if hmac.compare_digest(
-            self.headers.get("Authorization", ""), expected
+            self.headers.get("Authorization", "").encode("latin-1"),
+            expected.encode("latin-1"),
         ):
             return True
         body = json.dumps({"error": "unauthorized"}).encode("utf-8")

@@ -118,6 +118,20 @@ def test_search_head_k_zero_returns_empty(built):
         assert res.approximate is True
 
 
+def test_search_head_empty_terms_returns_empty(built):
+    """An empty term list mirrors search([]): empty result, certified
+    (the exact result IS empty) — not an IndexError from _and_score([])."""
+    spark, store, cfg = built
+    build_heads(spark, store, head_size=4)
+    qe = QueryEngine(spark, store, cfg)
+    for mode in ("and", "or"):
+        res = qe.search_head([], k=10, mode=mode)
+        assert res.doc_ids.size == 0 and res.scores.size == 0
+        assert res.set_exact is True
+        b = qe.search_bounded([], mode=mode, k=10)
+        assert b.doc_ids.size == 0
+
+
 def _heads_rows(spark, store):
     """Full heads-table contents as a canonically sorted pandas frame
     (per-segment rows can repeat a (term, salt) pair, so sort includes the

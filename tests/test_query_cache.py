@@ -127,3 +127,47 @@ def test_sorted_memo_reused_and_bit_identical(built):
     for t in memos:
         raw, nb = qe._raw_cache[t]
         assert nb > int(raw.doc_ids.nbytes + raw.impacts.nbytes)
+
+
+def test_engine_on_unbuilt_index_raises_clear_error(spark, tmp_path):
+    """Constructing a QueryEngine before any build must fail with the
+    clear "table 'stats' not committed" KeyError at construction — not a
+    deferred AttributeError from n_docs never being set (the missing
+    manifest's None version must not compare equal to the unset sentinel)."""
+    store = IndexStore(str(tmp_path / "wh_empty"), "never_built")
+    with pytest.raises(KeyError, match="stats"):
+        QueryEngine(spark, store, EngineConfig().tiny())
+
+
+def test_concurrent_memo_build_charges_once(built):
+    """Two workers racing _sorted_postings on the same cold cached term:
+    exactly one memo survives and the LRU budget is charged exactly once
+    (a double charge would permanently shrink effective cache capacity)."""
+    import threading
+
+    spark, store, cfg = built
+    qe = QueryEngine(spark, store, cfg)
+    terms = ["import", "return"]
+    raws = qe._lookup_raw(sorted(terms))  # seed the cache, no memos yet
+    before = qe._cache_bytes
+    barrier = threading.Barrier(2)
+    tps: list = [None, None]
+
+    def build(i: int) -> None:
+        barrier.wait()
+        tps[i] = [qe._sorted_postings(r) for r in raws.values()]
+
+    workers = [threading.Thread(target=build, args=(i,)) for i in range(2)]
+    for w in workers:
+        w.start()
+    for w in workers:
+        w.join()
+    # both workers hold the SAME TermPostings objects (one winner)
+    for a, b in zip(tps[0], tps[1]):
+        assert a is b
+    expected_extra = sum(
+        int(tp.doc_ids.nbytes + tp.weights.nbytes
+            + tp.block_last.nbytes + tp.block_ub.nbytes)
+        for tp in tps[0]
+    )
+    assert qe._cache_bytes == before + expected_extra

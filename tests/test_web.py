@@ -513,6 +513,17 @@ def test_basic_auth_gate(spark, tmp_path):
         assert resp.status == 200
         assert json.loads(resp.read())["error"] == "No file was uploaded."
         conn.close()
+        # non-ASCII header (http.server decodes latin-1): must be a clean
+        # 401, not a TypeError from hmac.compare_digest(str, str) dropping
+        # the connection
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request(
+            "POST", "/api/upload", b"",
+            {"Content-Length": "0",
+             "Authorization": "Basic caf\xe9".encode("latin-1")},
+        )
+        assert conn.getresponse().status == 401
+        conn.close()
     finally:
         srv.shutdown()
 
