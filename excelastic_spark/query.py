@@ -409,8 +409,13 @@ class QueryEngine:
                 presorted=presorted,
             )
         out.update(fresh)
+        # re-stat the manifest (not just the engine's cached version — a
+        # single-threaded engine never observes a mid-lookup commit
+        # otherwise): one ~1us stat per COLD lookup buys detection of the
+        # torn window in every thread, not only under concurrency
+        cur = self._current_manifest_version()
         with self._cache_lock:
-            if self._manifest_version != ver:
+            if self._manifest_version != ver or cur != ver:
                 stale = True
             else:
                 stale = False

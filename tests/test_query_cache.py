@@ -171,3 +171,32 @@ def test_concurrent_memo_build_charges_once(built):
         for tp in tps[0]
     )
     assert qe._cache_bytes == before + expected_extra
+
+
+def test_lookup_retries_when_manifest_swaps_mid_fetch(built):
+    """A manifest commit landing between a lookup's fetch and its cache
+    seed must cause a RETRY against the new version — not a returned
+    result mixing one snapshot's postings with another's stats, and not a
+    poisoned cache."""
+    spark, store, cfg = built
+    qe = QueryEngine(spark, store, cfg)
+    fetches = []
+    orig = qe._fetch_posting_rows
+
+    def hooked(terms):
+        rows = orig(terms)
+        if not fetches:
+            # bump the manifest (any commit: here a config rewrite) AFTER
+            # the fetch but BEFORE the seed — the classic torn window
+            store.save_config(dict(store.load_config() or {"x": 1}))
+        fetches.append(list(terms))
+        return rows
+
+    qe._fetch_posting_rows = hooked
+    res = qe.search(["import", "return"], mode="or", k=10)
+    assert len(fetches) == 2  # first lookup discarded, second succeeded
+    fresh = QueryEngine(spark, store, cfg).search(
+        ["import", "return"], mode="or", k=10
+    )
+    assert np.array_equal(res.doc_ids, fresh.doc_ids)
+    assert np.array_equal(res.scores, fresh.scores)
