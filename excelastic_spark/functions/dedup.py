@@ -313,9 +313,10 @@ def simhash64(text: Column, tf_weighted: bool = True) -> Column:
         pairs = F.transform(
             starts,
             lambda s, j: F.struct(
-                F.conv(F.substring(F.md5(F.element_at(st, s)), 1, 15), 16, 10)
-                .cast("long")
-                .alias("h"),
+                # the module's one 60-bit hash definition (md5_60bit):
+                # simhash and minhash must stay value-identical to the
+                # DuckDB oracle's substr(md5(x),1,15) trick together
+                md5_60bit(F.element_at(st, s)).alias("h"),
                 (
                     (
                         F.when(

@@ -375,59 +375,63 @@ class QueryEngine:
         repeat lookups; the cache is dropped wholesale whenever the
         manifest changes (_check_version), which covers both new postings
         segments and the stats (avgdl/n_docs) the cached impacts/idf were
-        computed with."""
-        self._check_version()
-        out: dict[str, RawPostings] = {}
-        missing: list[str] = []
-        with self._cache_lock:
-            # snapshot version AND stats together: reading self.n_docs etc.
-            # outside the lock could mix one version's cached postings with
-            # another version's stats mid-swap (torn read across the four
-            # one-by-one field assignments in _check_version)
-            ver = self._manifest_version
-            n_docs, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
-            for t in uniq:
-                hit = self._raw_cache.get(t)
-                if hit is not None:
-                    self._raw_cache.move_to_end(t)
-                    out[t] = hit[0]
-                else:
-                    missing.append(t)
-        if not missing:
-            return out
-        rows = self._fetch_posting_rows(missing)
-        fresh: dict[str, RawPostings] = {}
-        for term, parts in _group_by_term(rows).items():
-            ids, tfs, dls, presorted = _fused_decode(parts)
-            idf = float(codec.bm25_idf(n_docs, int(ids.size)))
-            impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
-            fresh[term] = RawPostings(
-                term=term,
-                doc_ids=ids,
-                impacts=impacts,
-                idf=idf,
-                presorted=presorted,
-            )
-        out.update(fresh)
-        # re-stat the manifest (not just the engine's cached version — a
-        # single-threaded engine never observes a mid-lookup commit
-        # otherwise): one ~1us stat per COLD lookup buys detection of the
-        # torn window in every thread, not only under concurrency
-        cur = self._current_manifest_version()
-        with self._cache_lock:
-            if self._manifest_version != ver or cur != ver:
-                stale = True
-            else:
-                stale = False
-                self._seed_cache(fresh)
-        if stale:
-            # snapshot advanced mid-lookup (another thread observed a
-            # commit): the fetched rows may belong to the NEW snapshot
-            # while out's cache hits + the stats above are the OLD one —
-            # discard and redo the lookup against the new version (commits
-            # are rare: appends/merges, never per-query)
-            return self._lookup_raw(uniq)
-        return out
+        computed with.
+
+        Snapshot consistency: a manifest commit landing between the fetch
+        and the seed is detected by a post-fetch re-stat and the lookup
+        RETRIES against the new version (bounded — commits are rare:
+        appends/merges, never per-query). On retry exhaustion (a writer
+        committing faster than a lookup completes, i.e. a pathological
+        churn) the final attempt's result is returned WITHOUT seeding the
+        cache: each attempt re-reads stats, so that result mixes
+        generations only if yet another commit landed inside the final
+        attempt's own fetch window."""
+        for _attempt in range(8):
+            self._check_version()
+            out: dict[str, RawPostings] = {}
+            missing: list[str] = []
+            with self._cache_lock:
+                # snapshot version AND stats together: reading self.n_docs
+                # etc. outside the lock could mix one version's cached
+                # postings with another version's stats mid-swap (torn read
+                # across the four one-by-one field assignments in
+                # _check_version)
+                ver = self._manifest_version
+                n_docs, avgdl = self.n_docs, self.avgdl
+                k1, b = self.k1, self.b
+                for t in uniq:
+                    hit = self._raw_cache.get(t)
+                    if hit is not None:
+                        self._raw_cache.move_to_end(t)
+                        out[t] = hit[0]
+                    else:
+                        missing.append(t)
+            if not missing:
+                return out
+            rows = self._fetch_posting_rows(missing)
+            fresh: dict[str, RawPostings] = {}
+            for term, parts in _group_by_term(rows).items():
+                ids, tfs, dls, presorted = _fused_decode(parts)
+                idf = float(codec.bm25_idf(n_docs, int(ids.size)))
+                impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
+                fresh[term] = RawPostings(
+                    term=term,
+                    doc_ids=ids,
+                    impacts=impacts,
+                    idf=idf,
+                    presorted=presorted,
+                )
+            out.update(fresh)
+            # re-stat the manifest (not just the engine's cached version —
+            # a single-threaded engine never observes a mid-lookup commit
+            # otherwise): one ~1us stat per COLD lookup buys detection of
+            # the torn window in every thread, not only under concurrency
+            cur = self._current_manifest_version()
+            with self._cache_lock:
+                if self._manifest_version == ver and cur == ver:
+                    self._seed_cache(fresh)
+                    return out
+        return out  # retry budget exhausted (see docstring) — don't seed
 
     def _seed_cache(self, fresh: dict[str, RawPostings]) -> None:
         """Insert freshly decoded terms into the LRU (cache lock held)."""
@@ -438,6 +442,11 @@ class QueryEngine:
                 self._cache_bytes -= old[1]
             self._raw_cache[t] = (raw, nbytes)
             self._cache_bytes += nbytes
+        self._evict_over_cap()
+
+    def _evict_over_cap(self) -> None:
+        """LRU eviction to the byte cap (cache lock held) — ONE policy
+        shared by the seed path and the sorted-memo charge."""
         while self._cache_bytes > self._cache_cap and self._raw_cache:
             _, (_, nb) = self._raw_cache.popitem(last=False)
             self._cache_bytes -= nb
@@ -491,9 +500,7 @@ class QueryEngine:
                 )
                 self._raw_cache[raw.term] = (raw, ent[1] + extra)
                 self._cache_bytes += extra
-                while self._cache_bytes > self._cache_cap and self._raw_cache:
-                    _, (_, nb) = self._raw_cache.popitem(last=False)
-                    self._cache_bytes -= nb
+                self._evict_over_cap()
         return tp
 
     def lookup(self, terms: list[str]) -> dict[str, TermPostings]:
@@ -617,6 +624,38 @@ class QueryEngine:
         refresh_heads after append)."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        if k <= 0:  # mirror search(): empty result, never scores[-1] on []
+            return QueryResult(
+                np.empty(0, np.uint64), np.empty(0, np.float64),
+                approximate=True, caps={}, set_exact=False,
+                score_gap=np.empty(0, np.float64),
+            )
+        uniq = sorted(set(terms))
+        if not uniq:  # mirror search([]): exact result is empty, certified
+            return QueryResult(
+                np.empty(0, np.uint64), np.empty(0, np.float64),
+                approximate=True, caps={}, set_exact=True,
+                score_gap=np.empty(0, np.float64),
+            )
+        # bounded retry on mid-query manifest commits — same torn-window
+        # protection as _lookup_raw: stats, heads rows, and terms df must
+        # all come from ONE snapshot or the certificate could certify
+        # scores that match neither version. Each attempt pins the version
+        # at entry and re-stats after its fetches.
+        res = None
+        for _attempt in range(8):
+            res = self._search_head_once(uniq, k, mode)
+            if res is not None:
+                return res
+        raise RuntimeError(
+            "search_head: manifest kept changing mid-query (8 attempts) — "
+            "a writer is committing faster than the head lookup completes"
+        )
+
+    def _search_head_once(
+        self, uniq: list[str], k: int, mode: str
+    ) -> QueryResult | None:
+        """One pinned-snapshot attempt of search_head (None = torn, retry)."""
         self._check_version()
         if not self._heads_fresh():
             raise ValueError(
@@ -625,21 +664,10 @@ class QueryEngine:
                 "`index.py heads --refresh` (refresh_heads, O(increment)) "
                 "after appends"
             )
-        if k <= 0:  # mirror search(): empty result, never scores[-1] on []
-            return QueryResult(
-                np.empty(0, np.uint64), np.empty(0, np.float64),
-                approximate=True, caps={}, set_exact=False,
-                score_gap=np.empty(0, np.float64),
-            )
         t0 = time.time()
-        uniq = sorted(set(terms))
-        if not uniq:  # mirror search([]): exact result is empty, certified
-            return QueryResult(
-                np.empty(0, np.uint64), np.empty(0, np.float64),
-                approximate=True, caps={}, set_exact=True,
-                score_gap=np.empty(0, np.float64),
-            )
-        n_docs, avgdl, k1, b = self._stats_snapshot()
+        with self._cache_lock:
+            ver = self._manifest_version
+            n_docs, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
         rows = self._fetch_rows("heads", uniq)
         # true df per term (the terms table, NOT the truncated head length)
         # so idf — and therefore every returned score bit — matches search()
@@ -647,6 +675,12 @@ class QueryEngine:
             r["term"]: int(r["df"])
             for r in self._fetch_rows("terms", uniq, columns=["term", "df"])
         }
+        # torn-window re-stat: a commit between the pin above and here
+        # means rows/dfs may mix snapshot generations with the pinned stats
+        with self._cache_lock:
+            torn = self._manifest_version != ver
+        if torn or self._current_manifest_version() != ver:
+            return None
         raws: list[RawPostings] = []
         caps: dict[str, float] = {}
         for term, parts in _group_by_term(rows).items():
@@ -793,11 +827,34 @@ class QueryEngine:
         deterministic float64 sum), top-k via ORDER BY + LIMIT.
 
         Scales with the candidate set: each (term, salt) posting row decodes
-        independently in its executor; no driver collect of postings."""
-        self._check_version()
+        independently in its executor; no driver collect of postings.
+
+        Snapshot consistency: stats and BOTH table scans (postings, terms)
+        resolve their snapshot paths eagerly at plan-build under a pinned
+        manifest version with a bounded retry — same torn-window guard as
+        _lookup_raw/search_head. (A commit AFTER this returns only affects
+        the lazy execution if a later merge+vacuum removes the pinned
+        snapshot dirs; execute promptly or re-plan after compactions.)"""
         uniq = sorted(set(terms))
-        n_docs, avgdl, k1, b = self._stats_snapshot()
-        scan = self._postings_scan(uniq)
+        for _attempt in range(8):
+            self._check_version()
+            with self._cache_lock:
+                ver = self._manifest_version
+                n_docs, avgdl = self.n_docs, self.avgdl
+                k1, b = self.k1, self.b
+            scan = self._postings_scan(uniq)
+            terms_scan = (
+                self.store.read_table(self.spark, "terms")
+                .filter(F.col("term").isin(uniq))
+                .select("term", "df")
+            )
+            if self._current_manifest_version() == ver:
+                break
+        else:
+            raise RuntimeError(
+                "search_distributed: manifest kept changing mid-plan "
+                "(8 attempts)"
+            )
 
         decode_schema = StructType(
             [
@@ -829,14 +886,10 @@ class QueryEngine:
                 if outs:
                     yield pd.concat(outs).rename(columns={"impact": "weight"})
 
-        # df per term must be the SALT-MERGED df; compute from terms table
-        terms_df = (
-            self.store.read_table(self.spark, "terms")
-            .filter(F.col("term").isin(uniq))
-            .select("term", "df")
-        )
+        # df per term must be the SALT-MERGED df; computed from the terms
+        # table scan built under the pinned version above
         decoded = scan.mapInPandas(decode, schema=decode_schema).join(
-            F.broadcast(terms_df), "term"
+            F.broadcast(terms_scan), "term"
         )
         decoded = decoded.withColumn(
             "weight",
