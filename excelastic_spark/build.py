@@ -513,6 +513,10 @@ class IndexBuilder:
         fp, n_input, bucket_counts = validate_and_fingerprint(
             corpus, pre_ingested
         )
+        # layout knobs are part of the lineage: a rerun with a different
+        # bucket/salt/block config must rebuild, not resume onto stages
+        # committed under the old layout (config.layout_key docstring)
+        fp = f"{fp},{cfg.layout_key()}"
         store.save_config(cfg.layout_dict())  # append/merge/query default to it
         metrics: dict[str, Any] = {"fingerprint": fp}
         counts: dict[str, int] = {}

@@ -53,6 +53,33 @@ class IndexStore:
         # the optimistic-commit role Iceberg's metastore plays)
         self._mlock = threading.Lock()
         self._lock_path = os.path.join(self.root, ".manifest.lock")
+        self._writer_tlock = threading.Lock()
+        self._writer_lock_path = os.path.join(self.root, ".writer.lock")
+
+    @contextlib.contextmanager
+    def writer_lock(self):
+        """Exclusive cross-process WRITER section for read-compute-commit
+        operations whose correctness depends on the manifest not changing
+        between their initial read and their final commit — append
+        (doc_id assignment from running totals) and merge (read-then-
+        overwrite of the postings path list). The commit lock below only
+        makes the final swap atomic; two appends could both read
+        max_doc_id=M and assign colliding ids, and a merge could drop a
+        segment appended mid-merge, without this outer serialization.
+        Separate lock file so commit_snapshot/commit_stage can be called
+        while held. Concurrent SHARD builds do NOT take it: their doc_ids
+        are pre-assigned by the plan (disjoint by construction) and their
+        commits are pure segment appends."""
+        with self._writer_tlock:
+            if fcntl is None:
+                yield
+                return
+            with open(self._writer_lock_path, "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
 
     @contextlib.contextmanager
     def _commit_lock(self):

@@ -129,6 +129,16 @@ class EngineConfig:
     def layout_dict(self) -> dict:
         return {f: getattr(self, f) for f in self._LAYOUT_FIELDS}
 
+    def layout_key(self) -> str:
+        """Compact layout signature for lineage fingerprints: a resumed
+        build run with DIFFERENT layout knobs (bucket count, block size,
+        salting) must fingerprint-mismatch and rebuild — resuming onto
+        stages committed under another layout would mix incompatible
+        bucket assignments and silently break query-side pruning."""
+        return "layout=" + ",".join(
+            f"{f}={getattr(self, f)}" for f in self._LAYOUT_FIELDS
+        )
+
     @classmethod
     def from_store(cls, store, base: "EngineConfig | None" = None) -> "EngineConfig":
         """Config for an EXISTING index: process defaults (or ``base``)

@@ -73,6 +73,10 @@ def plan_shards(
     fp, n_docs, bucket_counts = validate_and_fingerprint(
         corpus, pre_ingested=False
     )
+    # layout into the plan fingerprint: re-planning with different knobs
+    # must not let shard_done entries from the old layout satisfy the new
+    # plan (same rationale as IndexBuilder.build)
+    fp = f"{fp},{cfg.layout_key()}"
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(bucket_counts):
@@ -106,9 +110,13 @@ def build_shard(
 ) -> dict[str, Any]:
     """Build one shard's segments and append them to the shared store.
     Safe to run concurrently with other shards from separate processes.
-    Retry-safe: a shard whose stage entry already matches the plan
-    fingerprint is skipped (a crashed partial attempt leaves uncommitted
-    segments that finalize's doc-count check detects)."""
+    Retry-safe BY CONSTRUCTION: every segment is STAGED (invisible to
+    readers) and published together with the shard's stage entry in ONE
+    atomic manifest swap — a crash at any point leaves the index exactly
+    as before (orphan staged dirs reclaimed by vacuum), so a retry can
+    never double-append; a shard whose stage entry already matches the
+    plan fingerprint is skipped. finalize's doc-count check remains as a
+    belt-and-suspenders cross-shard audit."""
     cfg = EngineConfig.from_store(store, cfg)
     plan = load_plan(store)
     n_shards = int(plan["n_shards"])
@@ -125,6 +133,33 @@ def build_shard(
     mine = corpus.withColumn("_bucket", bucket).filter(
         F.pmod(F.col("_bucket"), F.lit(n_shards)) == shard
     )
+    # drift check BEFORE anything is staged, PER BUCKET: a corpus change
+    # since shard-plan that moves a doc between this shard's buckets keeps
+    # the shard total constant but shifts within-bucket ranks, colliding
+    # doc_ids with the next bucket's plan offsets — only the per-bucket
+    # comparison catches that
+    shard_counts = {
+        int(r["_bucket"]): int(r["n"])
+        for r in mine.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    planned_counts = {
+        int(b): int(n)
+        for b, n in plan.get("counts", {}).items()
+        if int(b) % n_shards == shard
+    }
+    if plan.get("counts") and shard_counts != planned_counts:
+        drifted = sorted(
+            b
+            for b in set(shard_counts) | set(planned_counts)
+            if shard_counts.get(b, 0) != planned_counts.get(b, 0)
+        )
+        raise RuntimeError(
+            f"shard {shard}: corpus drifted since shard-plan in id-buckets "
+            f"{drifted} (counts {shard_counts} vs planned {planned_counts})"
+        )
+    n_docs_shard = sum(shard_counts.values())
     # global doc_id: plan offset + within-bucket rank (bucket ⊂ shard, so
     # the shard-local window computes the GLOBAL rank)
     offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
@@ -139,11 +174,14 @@ def build_shard(
         .drop("_bucket")
         .withColumn("sha256", F.sha2(F.col("content"), 256))
     )
-    ing_path = store.write_table(ingested, "ingested", mode="append")
+    writes: list[tuple[str, str, str]] = []
+    ing_path = store.stage_table(ingested, "ingested")
+    writes.append(("ingested", ing_path, "append"))
     ingested = spark.read.parquet(ing_path)
 
     triples = tokenize_triples(ingested)
-    tri_path = store.write_table(triples, "triples", mode="append")
+    tri_path = store.stage_table(triples, "triples")
+    writes.append(("triples", tri_path, "append"))
     triples = spark.read.parquet(tri_path)
 
     # shard-local docs segment (doclen from triples, as the plain build)
@@ -152,7 +190,7 @@ def build_shard(
         "doc_id", "repo", "path", "commit", "lang", "sha256",
         F.coalesce("doclen", F.lit(0)).cast(LongType()).alias("doclen"),
     )
-    store.write_table(docs_out, "docs", mode="append")
+    writes.append(("docs", store.stage_table(docs_out, "docs"), "append"))
 
     # shard-local term stats; salting threshold scaled by shard count
     # because a term's postings split ~uniformly across doc-hash shards
@@ -165,47 +203,47 @@ def build_shard(
     shard_terms = term_stats(triples, shard_cfg).repartition(
         cfg.n_buckets, "bucket"
     )
-    terms_path = store.write_table(
-        shard_terms, "shard_terms", mode="append", partition_by=["bucket"]
+    terms_path = store.stage_table(
+        shard_terms, "shard_terms", partition_by=["bucket"]
     )
+    writes.append(("shard_terms", terms_path, "append"))
     shard_terms = spark.read.parquet(terms_path)
 
     agg = triples.agg(
         F.count(F.lit(1)).alias("n_triples"), F.sum("tf").alias("total_tf")
     ).collect()[0]
-    n_docs_shard = ingested.count()
-    # drift check (free): the shard's doc count must equal the plan's bucket
-    # counts for its owned buckets — catches a corpus that changed since
-    # shard-plan before wrong doc_ids are committed under the plan's print
-    planned = sum(
-        int(n)
-        for b, n in plan.get("counts", {}).items()
-        if int(b) % n_shards == shard
-    )
-    if plan.get("counts") and n_docs_shard != planned:
-        raise RuntimeError(
-            f"shard {shard}: corpus drifted since shard-plan "
-            f"({n_docs_shard} docs vs {planned} planned)"
-        )
     # avgdl for block-max metadata: the plan's global corpus is uniform
     # across shards, so the shard estimate is unbiased; exact bounds are
     # recomputed at query time anyway (query.py lookup()).
     avgdl_est = float(agg["total_tf"] or 0) / max(n_docs_shard, 1)
 
     postings = encode_postings(triples, shard_terms, shard_cfg, avgdl_est)
-    store.write_table(postings, "postings", mode="append", partition_by=["bucket"])
+    writes.append((
+        "postings",
+        store.stage_table(postings, "postings", partition_by=["bucket"]),
+        "append",
+    ))
 
+    # ---- single atomic publish: all four segments + the shard's stage
+    # entry become visible together or not at all (a crashed attempt is
+    # invisible, so retry can't double-append)
+    store.commit_snapshot(
+        writes,
+        stages={
+            f"shard_{shard}": {
+                "fingerprint": plan["fingerprint"],
+                "n_docs": int(n_docs_shard),
+                "total_tf": int(agg["total_tf"] or 0),
+            }
+        },
+    )
     dt = time.time() - t0
-    rec = store.log_metrics(
+    return store.log_metrics(
         f"shard_{shard}", n_docs=int(n_docs_shard),
         n_triples=int(agg["n_triples"]), total_tf=int(agg["total_tf"] or 0),
         sec=round(dt, 3),
         docs_per_sec=round(n_docs_shard / max(dt, 1e-9), 1),
     )
-    store.commit_stage(f"shard_{shard}", plan["fingerprint"], **{
-        "n_docs": int(n_docs_shard), "total_tf": int(agg["total_tf"] or 0),
-    })
-    return rec
 
 
 def finalize(
@@ -238,8 +276,17 @@ def finalize(
         .withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
         .repartition(cfg.n_buckets, "bucket")
     )
-    n_terms = terms.count()
-    store.write_table(terms, "terms", partition_by=["bucket"])
+    from pyspark.sql import Observation
+
+    # n_terms observed inside the write job (build._write_observed
+    # pattern) — a separate .count() would run the vocab aggregation twice
+    obs = Observation("obs_terms_finalize")
+    store.write_table(
+        terms.observe(obs, F.count(F.lit(1)).alias("n")),
+        "terms",
+        partition_by=["bucket"],
+    )
+    n_terms = int(obs.get["n"])
 
     n_docs = sum(
         st[f"shard_{s}"]["n_docs"] for s in range(int(plan["n_shards"]))

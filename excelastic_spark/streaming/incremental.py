@@ -50,11 +50,21 @@ from excelastic_spark import codec
 from excelastic_spark.build import (
     STATS_SCHEMA,
     encode_postings,
+    validate_and_fingerprint,
 )
 from excelastic_spark.catalog import IndexStore
 from excelastic_spark.config import EngineConfig
 from excelastic_spark.corpus import CORPUS_SCHEMA, assign_doc_ids
 from excelastic_spark.tokenizer import TRIPLES_SCHEMA, tokenize_triples
+
+
+# flush decoded triples to Spark at this many postings: an input Arrow
+# batch can hold thousands of posting ROWS and a hot salted row carries
+# ~salt_target postings, so materializing a whole input batch as one
+# pandas frame could be O(batch rows x salt_target) — the same executor-
+# memory cliff the build-side encoder was rewritten to avoid. Bounding
+# the output frame keeps merge memory O(budget + largest row).
+_DECODE_FLUSH_POSTINGS = 2_000_000
 
 
 def _decode_rows_to_triples(
@@ -64,8 +74,20 @@ def _decode_rows_to_triples(
     (term, salt, segment) index ROWS — a handful per term — while each
     decode is one vectorized numpy pass over that row's postings (the same
     allowlisted pattern as the query-side decode, query.py)."""
+
+    def frame(ids_all, terms_all, tfs_all, dls_all) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids_all),
+                "term": np.concatenate(terms_all),
+                "tf": np.concatenate(tfs_all),
+                "doclen": np.concatenate(dls_all),
+            }
+        )
+
     for pdf in batches:
         ids_all, terms_all, tfs_all, dls_all = [], [], [], []
+        pending = 0
         for _, row in pdf.iterrows():
             ids = codec.decode_delta_varint(bytes(row["doc_ids"]))
             tfs = codec.decode_varint(bytes(row["tfs"]))
@@ -74,16 +96,13 @@ def _decode_rows_to_triples(
             tfs_all.append(tfs.astype(np.int64))
             dls_all.append(dls.astype(np.int64))
             terms_all.append(np.repeat(row["term"], ids.size))
-        if not ids_all:
-            continue
-        yield pd.DataFrame(
-            {
-                "doc_id": np.concatenate(ids_all),
-                "term": np.concatenate(terms_all),
-                "tf": np.concatenate(tfs_all),
-                "doclen": np.concatenate(dls_all),
-            }
-        )
+            pending += int(ids.size)
+            if pending >= _DECODE_FLUSH_POSTINGS:
+                yield frame(ids_all, terms_all, tfs_all, dls_all)
+                ids_all, terms_all, tfs_all, dls_all = [], [], [], []
+                pending = 0
+        if ids_all:
+            yield frame(ids_all, terms_all, tfs_all, dls_all)
 
 
 class IncrementalIndexer:
@@ -120,10 +139,23 @@ class IncrementalIndexer:
             # avgdl was computed as total_tf / n_docs in float64; n_docs is
             # small enough that the rounding recovers the exact integer
             total_tf = round(float(srow["avgdl"]) * n_docs)
+        # older-layout fallback: doc_ids need not be dense (a pre_ingested
+        # build can carry gaps), so assuming max = n_docs - 1 could assign
+        # the next append a COLLIDING id — read the true max from the docs
+        # table's doc_id column (one columnar agg, fallback path only)
+        if self.store.has_table("docs"):
+            mrow = (
+                self.store.read_table(self.spark, "docs")
+                .agg(F.max("doc_id").alias("m"))
+                .collect()[0]
+            )
+            max_id = int(mrow["m"]) if mrow["m"] is not None else n_docs - 1
+        else:
+            max_id = n_docs - 1
         return {
             "n_docs": n_docs,
             "total_tf": int(total_tf),
-            "max_doc_id": n_docs - 1,
+            "max_doc_id": max_id,
         }
 
     def append_increment(
@@ -158,9 +190,34 @@ class IncrementalIndexer:
         crash mid-append leaves the index untouched (plus orphan dirs that
         ``store.vacuum()`` reclaims), so the SAME append can simply be
         retried: totals never advanced, so the doc_id disjointness guard and
-        id assignment see the pre-append state."""
+        id assignment see the pre-append state.
+
+        Concurrency: the whole append holds the store's cross-process
+        ``writer_lock`` — two concurrent appends would otherwise both read
+        the same running totals and assign COLLIDING doc_ids (and the
+        second commit would clobber the first's totals). Appends to one
+        index therefore serialize, the same discipline Iceberg enforces
+        with commit conflicts; shard-parallel builds don't need the lock
+        because their ids come pre-assigned from the plan."""
+        with self.store.writer_lock():
+            return self._append_locked(increment, pre_ingested, stream_batch)
+
+    def _append_locked(
+        self,
+        increment: DataFrame,
+        pre_ingested: bool,
+        stream_batch: tuple[str, int] | None,
+    ) -> dict[str, Any]:
         spark, store, cfg = self.spark, self.store, self.cfg
         t0 = time.time()
+        # fail-fast dry-run, same as the batch build (ExcelParser
+        # initialize() analog): null keys/content and WITHIN-increment
+        # duplicate keys abort before anything is staged. Keys that already
+        # exist in the index are NOT rejected — the reference appends to ES
+        # via _bulk with auto-generated ids (ElasticWriter.java:180-184), so
+        # re-importing a file duplicates rows there too; exact dedup is the
+        # dedup_exact operator's job, not the ingest path's.
+        validate_and_fingerprint(increment, pre_ingested=pre_ingested)
         tot = self._totals()
         next_id = tot["max_doc_id"] + 1
         if pre_ingested:
@@ -218,16 +275,24 @@ class IncrementalIndexer:
         else:
             merged_raw = inc_terms
         merged = self._plan_salts(merged_raw)
-        n_terms = merged.count()
+        # n_terms observed INSIDE the staging write (build._write_observed
+        # pattern): a separate .count() would run the vocab-sized old-terms
+        # union + groupBy twice per append
+        from pyspark.sql import Observation
+
+        obs = Observation("obs_terms_append")
         writes.append((
             "terms",
             store.stage_table(
-                merged.repartition(cfg.n_buckets, "bucket"),
+                merged.repartition(cfg.n_buckets, "bucket").observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ),
                 "terms",
                 partition_by=["bucket"],
             ),
             "overwrite",
         ))
+        n_terms = int(obs.get["n"])
 
         # ---- stats from running totals (no index scan)
         n_docs = tot["n_docs"] + inc_docs
@@ -303,19 +368,26 @@ class IncrementalIndexer:
         executors (O(postings bytes) input), then re-encode through the
         shared sorted-run kernel, re-applying the salting plan from the
         current terms table. Snapshot-swapped by the manifest, so readers
-        never see a half-merged index."""
+        never see a half-merged index.
+
+        Concurrency: holds the store's ``writer_lock`` for the whole
+        read-encode-overwrite — without it, a segment appended between the
+        postings read and the overwrite commit would be silently dropped
+        from the table path list (its docs/stats stay committed, so those
+        documents would vanish from query results with no error)."""
         spark, store, cfg = self.spark, self.store, self.cfg
         t0 = time.time()
-        stats = store.read_table(spark, "stats").collect()[0]
-        terms = store.read_table(spark, "terms")
-        postings = store.read_table(spark, "postings").select(
-            "term", "doc_ids", "tfs", "doclens"
-        )
-        decoded = postings.mapInPandas(
-            _decode_rows_to_triples, schema=TRIPLES_SCHEMA
-        )
-        merged = encode_postings(decoded, terms, cfg, float(stats["avgdl"]))
-        store.write_table(merged, "postings", partition_by=["bucket"])
+        with store.writer_lock():
+            stats = store.read_table(spark, "stats").collect()[0]
+            terms = store.read_table(spark, "terms")
+            postings = store.read_table(spark, "postings").select(
+                "term", "doc_ids", "tfs", "doclens"
+            )
+            decoded = postings.mapInPandas(
+                _decode_rows_to_triples, schema=TRIPLES_SCHEMA
+            )
+            merged = encode_postings(decoded, terms, cfg, float(stats["avgdl"]))
+            store.write_table(merged, "postings", partition_by=["bucket"])
         rec = store.log_metrics("merge", sec=round(time.time() - t0, 3))
         return rec
 

@@ -215,3 +215,32 @@ def test_metrics_logged(built):
     assert metrics["postings"]["postings_per_sec"] > 0
     assert metrics["postings"]["bytes_compressed"] > 0
     assert metrics["tokenize"]["n_triples"] > 0
+
+
+def test_rebuild_with_changed_layout_does_not_resume(spark, tmp_path):
+    """The lineage fingerprint carries the layout key: re-running a build
+    with different layout knobs (here bucket count) must REBUILD every
+    stage instead of resuming onto the old layout's committed stages —
+    resuming would mix bucket assignments and silently break query-side
+    bucket pruning."""
+    cfg_a = EngineConfig().tiny().with_overrides(shuffle_partitions=4)
+    store = IndexStore(str(tmp_path), "relayout")
+    corpus = synthesize_corpus(spark, 120, partitions=2)
+    IndexBuilder(spark, store, cfg_a).build(corpus)
+    before = QueryEngine(spark, store, cfg_a).search(
+        ["import", "return"], "or", 10
+    ).to_pandas()
+
+    cfg_b = cfg_a.with_overrides(n_buckets=cfg_a.n_buckets * 2)
+    metrics = IndexBuilder(spark, store, cfg_b).build(corpus)
+    # every stage re-ran under the new layout (nothing resumed)
+    for stage in ("ingest", "tokenize", "terms", "postings"):
+        assert stage in metrics, stage
+    # results identical under the new layout, served via its pruning
+    after = QueryEngine(spark, store, cfg_b).search(
+        ["import", "return"], "or", 10
+    ).to_pandas()
+    assert list(before["doc_id"]) == list(after["doc_id"])
+    assert np.array_equal(
+        before["score"].to_numpy(), after["score"].to_numpy()
+    )

@@ -324,3 +324,69 @@ def test_cli_stream_subcommand(spark, tmp_path):
     store = IndexStore(wh, "s")
     assert store.read_table(spark, "docs").count() == 90
     _assert_matches_oracle(spark, store)
+
+
+def test_append_validates_increment(spark, tmp_path):
+    """The append path runs the same fail-fast dry-run as the batch build:
+    null key/content rows and WITHIN-increment duplicate keys abort before
+    anything is staged (cross-append duplicate keys stay allowed — the
+    reference appends to ES via _bulk with auto-generated ids, which
+    duplicates rows on re-import too)."""
+    from excelastic_spark.corpus import ParserException
+
+    store = IndexStore(str(tmp_path / "wh"), "idx")
+    base = synthesize_corpus(spark, 80, partitions=2)
+    IndexBuilder(spark, store, CFG).build(base)
+    inc = synthesize_corpus(spark, 100, partitions=2).filter(
+        "path > 'src/m'"
+    ).limit(10)
+    ix = IncrementalIndexer(spark, store, CFG)
+    before = store.manifest()["tables"]["postings"]
+
+    with pytest.raises(ParserException, match="null"):
+        ix.append_increment(inc.withColumn("content", F.lit(None).cast("string")))
+    with pytest.raises(ParserException, match="duplicate"):
+        ix.append_increment(inc.unionByName(inc.limit(3)))
+    # nothing was committed by either failed attempt
+    assert store.manifest()["tables"]["postings"] == before
+
+
+def test_concurrent_appends_serialize_without_id_collision(spark, tmp_path):
+    """Two appends racing from different threads (the web upload server /
+    CLI scenario): the store writer_lock serializes them, so doc_ids stay
+    globally unique and the running totals account for BOTH increments."""
+    import threading
+
+    store = IndexStore(str(tmp_path / "wh"), "idx")
+    base = synthesize_corpus(spark, 60, partitions=2)
+    IndexBuilder(spark, store, CFG).build(base)
+    # two disjoint increments (distinct keys vs base and each other)
+    big = synthesize_corpus(spark, 160, partitions=2)
+    inc1 = big.subtract(synthesize_corpus(spark, 110, partitions=2))
+    inc2 = synthesize_corpus(spark, 110, partitions=2).subtract(
+        synthesize_corpus(spark, 60, partitions=2)
+    )
+    n1, n2 = inc1.count(), inc2.count()
+    assert n1 == 50 and n2 == 50
+    errs: list = []
+
+    def do(inc):
+        try:
+            IncrementalIndexer(spark, store, CFG).append_increment(inc)
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=do, args=(i,)) for i in (inc1, inc2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    docs = store.read_table(spark, "docs")
+    total = docs.count()
+    distinct_ids = docs.select("doc_id").distinct().count()
+    assert total == 60 + n1 + n2
+    assert distinct_ids == total  # no colliding doc_ids
+    tot = store.manifest()["stages"]["totals"]
+    assert int(tot["n_docs"]) == total
+    assert int(tot["max_doc_id"]) == total - 1

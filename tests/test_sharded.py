@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from excelastic_spark import sharded
 from excelastic_spark.build import IndexBuilder
@@ -149,3 +150,42 @@ def test_finalize_requires_all_shards(spark, tmp_path, corpus):
     sharded.build_shard(spark, store, corpus, 0, cfg)
     with pytest.raises(RuntimeError, match="shards not built"):
         sharded.finalize(spark, store, cfg)
+
+
+def test_drifted_shard_commits_nothing(spark, tmp_path, corpus):
+    """Corpus drift between shard-plan and shard-build aborts BEFORE any
+    segment becomes visible (staged-then-atomic publish): the manifest
+    must be unchanged after the failure, so a corrected retry can't
+    double-append. Also exercises the PER-BUCKET comparison: with one
+    shard the doc total is preserved when a key change moves a doc
+    between buckets, so only per-bucket counts catch it."""
+    cfg = EngineConfig().tiny()
+    store = IndexStore(str(tmp_path / "wh"), "idx")
+    sharded.plan_shards(corpus, 1, store, cfg)
+    # mutate one doc's key (path) — total count identical, buckets shift
+    drifted = corpus.withColumn(
+        "path",
+        F.when(F.col("path") == corpus.select("path").first()[0],
+               F.lit("totally/else.py")).otherwise(F.col("path")),
+    )
+    manifest_before = store.manifest()
+    with pytest.raises(RuntimeError, match="drifted"):
+        sharded.build_shard(spark, store, drifted, 0, cfg)
+    after = store.manifest()
+    assert after["tables"] == manifest_before["tables"]
+    assert "shard_0" not in after["stages"]
+
+
+def test_replan_with_new_layout_invalidates_shards(spark, tmp_path, corpus):
+    """The plan fingerprint carries the layout key: re-planning with
+    different layout knobs must NOT let shard stage entries committed
+    under the old layout satisfy the new plan (stale-layout resume)."""
+    cfg_a = EngineConfig().tiny()
+    store = IndexStore(str(tmp_path / "wh"), "idx")
+    sharded.plan_shards(corpus, 1, store, cfg_a)
+    sharded.build_shard(spark, store, corpus, 0, cfg_a)
+    assert sharded.build_shard(spark, store, corpus, 0, cfg_a)["skipped"]
+    cfg_b = cfg_a.with_overrides(n_buckets=cfg_a.n_buckets * 2)
+    plan_b = sharded.plan_shards(corpus, 1, store, cfg_b)
+    st = store.manifest()["stages"]["shard_0"]
+    assert st["fingerprint"] != plan_b["fingerprint"]  # must rebuild
