@@ -45,7 +45,14 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> QueryEngine:
     key = os.path.realpath(sf_dir)
     if key in _ENGINES:
         return _ENGINES[key]
-    store = IndexStore(_WAREHOUSE, os.path.basename(key) or "idx")
+    # index name keyed by the FULL realpath (hashed), not its basename:
+    # /a/sf0.01 and /b/sf0.01 must not share one store, or the second
+    # build rebuilds over the first engine's snapshots mid-session
+    import hashlib
+
+    suffix = hashlib.md5(key.encode()).hexdigest()[:8]
+    name = f"{os.path.basename(key) or 'idx'}_{suffix}"
+    store = IndexStore(_WAREHOUSE, name)
     corpus = documents_as_corpus(spark, sf_dir)
     # build() fingerprints the input and skips completed stages (resume)
     IndexBuilder(spark, store, ENTRY_CFG).build(corpus, pre_ingested=True)
@@ -101,14 +108,24 @@ def _bm25_head(terms: list[str], k: int, mode: str = "or"):
     exact-subset candidates + cut-doc score bound) are pytest-covered
     (tests/test_heads.py)."""
 
+    FULL_COVERAGE = 1_000_000
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe = _engine_for(spark, sf_dir)
-        if not qe._heads_fresh():
+        # freshness alone isn't enough: a tier someone built at a SMALLER
+        # head_size over the same postings snapshots would pass
+        # _heads_fresh and serve truncated heads — check the pinned size
+        pinned = (
+            qe.store.manifest().get("stages", {}).get("heads", {})
+        ).get("head_size")
+        if not qe._heads_fresh() or pinned != FULL_COVERAGE:
             from excelastic_spark.heads import build_heads
 
-            build_heads(spark, qe.store, head_size=1_000_000)
+            build_heads(spark, qe.store, head_size=FULL_COVERAGE)
         res = qe.search_head(terms, k=k + 100, mode=mode)
-        assert res.set_exact is True  # full coverage must certify
+        if res.set_exact is not True:  # full coverage must certify;
+            # a raise (not assert) so PYTHONOPTIMIZE can't strip the guard
+            raise RuntimeError("full-coverage head tier failed to certify")
         return _rerank_e6(spark, res.to_pandas(), k)
 
     return run

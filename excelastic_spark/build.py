@@ -120,7 +120,8 @@ def validate_and_fingerprint(
                     F.col("content").isNull()
                     | F.col("repo").isNull()
                     | F.col("path").isNull()
-                    | F.col("commit").isNull(),
+                    | F.col("commit").isNull()
+                    | F.col("lang").isNull(),  # CORPUS_SCHEMA: non-null
                     1,
                 ).otherwise(0)
             ).alias("bad"),

@@ -23,13 +23,23 @@ from dataclasses import dataclass, field, replace
 CONFIGURATION_JSON = "configuration.json"
 
 
+_MONTHS = (
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+)
+
+
 def generate_default_index(today=None) -> str:
     """Reference default-index rule: MMMM-yyyy lowercased
-    (Configuration.java:55-57 generateDefaultIndex)."""
+    (Configuration.java:55-57 generateDefaultIndex). Month names are
+    pinned to English rather than strftime('%B'): the Java pattern uses
+    the JVM default locale, but an index NAME must resolve identically
+    from every client of the same warehouse — a French-locale writer and
+    a C-locale reader must agree on 'august-2026'."""
     import datetime
 
     today = today or datetime.date.today()
-    return today.strftime("%B-%Y").lower()
+    return f"{_MONTHS[today.month - 1]}-{today.year}"
 
 
 @dataclass(frozen=True)

@@ -136,7 +136,8 @@ def validate_corpus(corpus: DataFrame) -> int:
                 F.col("content").isNull()
                 | F.col("repo").isNull()
                 | F.col("path").isNull()
-                | F.col("commit").isNull(),
+                | F.col("commit").isNull()
+                | F.col("lang").isNull(),  # CORPUS_SCHEMA declares non-null
                 1,
             ).otherwise(0)
         ).alias("bad"),

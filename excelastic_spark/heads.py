@@ -99,37 +99,40 @@ def _head_kernel(head_size: int, avgdl: float, k1: float, b: float):
             if not len(pdf):
                 continue
             out: dict[str, list] = {f.name: [] for f in HEADS_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                n = int(row["n"])
-                m = max(1, math.ceil(head_size / int(row["n_salts"])))
+            # itertuples, not iterrows: the loop runs per (term, salt)
+            # index ROW at vocab scale, and iterrows builds a Series per
+            # row (measured several times slower for identical output)
+            for row in pdf.itertuples(index=False):
+                n = int(row.n)
+                m = max(1, math.ceil(head_size / int(row.n_salts)))
                 if n <= m:  # whole row fits: passthrough, nothing excluded
-                    out["term"].append(row["term"])
-                    out["salt"].append(row["salt"])
+                    out["term"].append(row.term)
+                    out["salt"].append(row.salt)
                     out["n"].append(n)
-                    out["doc_ids"].append(bytes(row["doc_ids"]))
-                    out["tfs"].append(bytes(row["tfs"]))
-                    out["doclens"].append(bytes(row["doclens"]))
+                    out["doc_ids"].append(bytes(row.doc_ids))
+                    out["tfs"].append(bytes(row.tfs))
+                    out["doclens"].append(bytes(row.doclens))
                     out["excl_max_tf"].append(0)
                     out["excl_min_dl"].append(1)
-                    out["bucket"].append(row["bucket"])
+                    out["bucket"].append(row.bucket)
                     continue
-                ids = codec.decode_delta_varint(bytes(row["doc_ids"]))
-                tfs = codec.decode_varint(bytes(row["tfs"]))
-                dls = codec.decode_varint(bytes(row["doclens"]))
+                ids = codec.decode_delta_varint(bytes(row.doc_ids))
+                tfs = codec.decode_varint(bytes(row.tfs))
+                dls = codec.decode_varint(bytes(row.doclens))
                 impacts = codec.bm25_impact(tfs, dls, avgdl, k1, b)
                 # deterministic head pick: (impact DESC, doc_id ASC)
                 order = np.lexsort((ids, -impacts))
                 keep = np.sort(order[:m])  # ids ascending within a row
                 excl = order[m:]
-                out["term"].append(row["term"])
-                out["salt"].append(row["salt"])
+                out["term"].append(row.term)
+                out["salt"].append(row.salt)
                 out["n"].append(int(keep.size))
                 out["doc_ids"].append(codec.encode_delta_varint(ids[keep]))
                 out["tfs"].append(codec.encode_varint(tfs[keep]))
                 out["doclens"].append(codec.encode_varint(dls[keep]))
                 out["excl_max_tf"].append(int(tfs[excl].max()))
                 out["excl_min_dl"].append(int(dls[excl].min()))
-                out["bucket"].append(row["bucket"])
+                out["bucket"].append(row.bucket)
             yield pd.DataFrame(out)
 
     return fn

@@ -144,11 +144,14 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_overrides(warehouse=args.warehouse)
     if args.cmd in ("build", "shard-plan"):
         over = {}
-        if args.salt_threshold:
+        # `is not None`, not truthiness: 0 is a meaningful override
+        # (--salt-threshold 0 = salt every term, since salting triggers
+        # on df > threshold) and must not fall back to the default
+        if args.salt_threshold is not None:
             over["salt_threshold"] = args.salt_threshold
-        if args.block_size:
+        if args.block_size is not None:
             over["block_size"] = args.block_size
-        if args.buckets:
+        if args.buckets is not None:
             over["n_buckets"] = args.buckets
         cfg = cfg.with_overrides(**over)
     name = cfg.resolve_index_name(args.name)
@@ -176,6 +179,16 @@ def main(argv: list[str] | None = None) -> int:
 
         qe = QueryEngine(spark, store, cfg)
         terms = [t for t in args.terms.split(",") if t]
+        if args.distributed and args.tier in ("head", "bounded"):
+            # refusing beats silently running the exact distributed path
+            # (and emitting a different JSON shape than the tier contract)
+            print(
+                "--distributed cannot be combined with --tier "
+                f"{args.tier}: the distributed path is exact-only",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 1
         if args.distributed:
             rows = qe.search_distributed(terms, args.mode, args.k).collect()
             out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
